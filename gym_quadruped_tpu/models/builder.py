@@ -1,0 +1,301 @@
+"""Offline model compiler: robot MJCF + synthesized scene → frozen Model arrays.
+
+MuJoCo's CPU bindings are used here *only at model-build time* as an MJCF compiler
+(mirroring how the reference composes scenes: quadruped_env.py:149-183). The resulting
+Model is a pure-array artifact; the TPU runtime never touches MuJoCo. Precompiled
+archives under models/compiled/ let `load_model` work without MJCF assets installed.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+import numpy as np
+
+from gym_quadruped_tpu.models import scenes as _scenes
+from gym_quadruped_tpu.models.model import GEOM_MESH, Model
+from gym_quadruped_tpu.models.robots import LEG_ORDER, get_robot_config
+
+COMPILED_DIR = Path(__file__).parent / 'compiled'
+
+
+def _patch_robot_xml(robot_xml: Path, out_dir: Path) -> Path:
+    """Produce a physics-equivalent robot MJCF with mesh geoms stripped.
+
+    Every shipped robot declares explicit <inertial> blocks, so mesh geoms carry no
+    mass properties — visual meshes are physics-irrelevant, and mesh *collision*
+    geoms are excluded from the v0 contact set (foot spheres + primitive geoms are
+    the ground-contact contract; see Model.contact_pairs). Stripping also sidesteps
+    missing .obj assets in some checkouts (e.g. go2 base_4.obj) and makes compiles
+    ~100x faster (no convex-hull computation).
+
+    Remaining relative asset references (none, after stripping) would break when the
+    file moves, so the patched file keeps the original's directory via meshdir.
+    """
+    tree = ET.parse(robot_xml)
+    root = tree.getroot()
+
+    for parent in root.iter():
+        for geom in list(parent.findall('geom')):
+            if geom.get('mesh') is not None or geom.get('type') == 'mesh':
+                parent.remove(geom)
+    asset = root.find('asset')
+    if asset is not None:
+        for mesh in list(asset.findall('mesh')):
+            asset.remove(mesh)
+        for tex in list(asset.findall('texture')):
+            f = tex.get('file')
+            if f and not (robot_xml.parent / f).exists():
+                asset.remove(tex)
+
+    out_path = out_dir / robot_xml.name
+    tree.write(out_path)
+    return out_path
+
+
+def compose_scene_xml(robot: str, scene: str = 'flat', seed: int = 10,
+                      out_dir: str | None = None,
+                      hfield: np.ndarray | None = None) -> tuple[str, tuple]:
+    """Write the merged scene+robot MJCF and return (path, terrain_limits).
+
+    Mirrors the reference's scene assembly (quadruped_env.py:149-168): generate the
+    terrain document, insert an <include> of the robot MJCF, write to disk.
+    """
+    from gym_quadruped_tpu.models.robots import find_assets_dir
+
+    cfg = get_robot_config(robot)
+    assets = find_assets_dir()
+    if assets is None:
+        raise FileNotFoundError(
+            'Robot MJCF assets not found. Set $GYM_QUADRUPED_ASSETS or install '
+            'gym-quadruped; alternatively use a precompiled model via load_model().')
+    robot_xml = (assets / cfg.mjcf_filename).resolve()
+    if not robot_xml.exists():
+        raise FileNotFoundError(f'Robot model file not found: {robot_xml}')
+
+    if scene == 'perlin':
+        # hfield data is assigned post-compile; declare an empty asset here.
+        tree, limits = _scenes.generate_scene('flat', cfg.hip_height, seed)
+        tree, limits = _attach_hfield_asset(tree, cfg.hip_height)
+    else:
+        tree, limits = _scenes.generate_scene(scene, cfg.hip_height, seed)
+
+    out_dir = Path(out_dir or tempfile.mkdtemp(prefix='gqtpu_scene_'))
+    patched_robot_xml = _patch_robot_xml(robot_xml, out_dir)
+
+    root = tree.getroot()
+    include = ET.Element('include')
+    include.attrib['file'] = str(patched_robot_xml)
+    root.insert(0, include)
+
+    out_path = Path(out_dir) / f'{cfg.name}-{scene}.xml'
+    tree.write(out_path)
+    return str(out_path), limits
+
+
+def _attach_hfield_asset(tree, hip_height: float, nrow: int = 128, ncol: int = 128):
+    """Declare a size-only hfield (data assigned after compile) per terrain.py:90-102."""
+    root = tree.getroot()
+    asset = root.find('asset')
+    size = (hip_height * 100, hip_height * 100)
+    max_height, min_height = 2 * hip_height, 0.005
+    ET.SubElement(asset, 'hfield', {
+        'name': 'perlin_hfield', 'nrow': str(nrow), 'ncol': str(ncol),
+        'size': f'{size[0] / 2.0} {size[1] / 2.0} {max_height} {min_height}',
+    })
+    wb = root.find('worldbody')
+    ET.SubElement(wb, 'geom', {'type': 'hfield', 'hfield': 'perlin_hfield',
+                               'pos': '0 0 0', 'quat': '1 0 0 0'})
+    radius = 0.8 * (size[0] / 2.0)
+    limits = (radius, -radius, radius, -radius)
+    return tree, limits
+
+
+def build_mj_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
+                   seed: int = 10, hfield: np.ndarray | None = None):
+    """Compile with MuJoCo and apply the reference's post-compile mutations.
+
+    Returns (mjModel, terrain_limits). Used by build_model and by parity tests
+    (both sides must see the *same* compiled model).
+    """
+    import mujoco
+
+    cfg = get_robot_config(robot)
+    xml_path, limits = compose_scene_xml(robot, scene, seed)
+    m = mujoco.MjModel.from_xml_path(xml_path)
+    if cfg.qpos0_js is not None:  # reference quadruped_env.py:171-173
+        m.qpos0[7:] = np.array(cfg.qpos0_js)
+    m.opt.timestep = sim_dt
+    if scene == 'perlin':
+        if hfield is None:
+            from gym_quadruped_tpu.terrain.perlin import reference_perlin_hfield
+            hfield = reference_perlin_hfield()
+        m.hfield_data[:] = hfield.ravel()
+    return m, limits
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _build_model_cached(robot: str, scene: str, sim_dt: float, seed: int) -> Model:
+    m, limits = build_mj_model(robot, scene, sim_dt, seed, None)
+    return extract_model(m, robot, scene, limits)
+
+
+def build_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
+                seed: int = 10, hfield: np.ndarray | None = None) -> Model:
+    """Compile robot+scene into a frozen Model (cached: Models are immutable)."""
+    if hfield is not None:
+        m, limits = build_mj_model(robot, scene, sim_dt, seed, hfield)
+        return extract_model(m, robot, scene, limits)
+    return _build_model_cached(robot, scene, sim_dt, seed)
+
+
+def load_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002) -> Model:
+    """Load a precompiled Model archive; fall back to building from MJCF."""
+    path = COMPILED_DIR / f'{robot}-{scene}.npz'
+    if path.exists():
+        model = Model.load(path)
+        if model.timestep != sim_dt:
+            model = type(model)(**{**model.__dict__, 'timestep': sim_dt})
+        return model
+    return build_model(robot, scene, sim_dt)
+
+
+def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
+    """Copy every field the engine needs out of a compiled mjModel."""
+    import mujoco
+
+    cfg = get_robot_config(robot)
+
+    def names(kind, n):
+        return tuple(
+            mujoco.mj_id2name(m, kind, i) or '' for i in range(n))
+
+    body_names = names(mujoco.mjtObj.mjOBJ_BODY, m.nbody)
+    jnt_names = names(mujoco.mjtObj.mjOBJ_JOINT, m.njnt)
+    geom_names = names(mujoco.mjtObj.mjOBJ_GEOM, m.ngeom)
+    site_names = names(mujoco.mjtObj.mjOBJ_SITE, m.nsite)
+
+    # Per-leg index tables (reference quadruped_env.py:189-204 via extract_mj_joint_info)
+    legs_qpos, legs_qvel, legs_tau = [], [], []
+    for li, leg in enumerate(LEG_ORDER):
+        qpos_idx, qvel_idx, tau_idx = [], [], []
+        for jname in cfg.leg_joint_names()[li]:
+            jid = jnt_names.index(jname)
+            qpos_idx.append(int(m.jnt_qposadr[jid]))
+            qvel_idx.append(int(m.jnt_dofadr[jid]))
+            # actuator acting on this joint
+            act = [a for a in range(m.nu)
+                   if m.actuator_trntype[a] == mujoco.mjtTrn.mjTRN_JOINT
+                   and m.actuator_trnid[a, 0] == jid]
+            tau_idx.append(int(act[0]) if act else -1)
+        legs_qpos.append(qpos_idx)
+        legs_qvel.append(qvel_idx)
+        legs_tau.append(tau_idx)
+
+    feet_geom_id = np.array([geom_names.index(g) for g in cfg.feet_geom_names], np.int32)
+    feet_body_id = m.geom_bodyid[feet_geom_id].astype(np.int32)
+    hip_body_id = np.array(
+        [body_names.index(f'{leg}_hip') if f'{leg}_hip' in body_names else -1
+         for leg in LEG_ORDER], np.int32)
+    imu_site_id = site_names.index(cfg.imu_site_name) if (
+        cfg.imu_site_name in site_names) else -1
+
+    # Static candidate contact pairs: world geoms × robot geoms, MuJoCo's
+    # contype/conaffinity compatibility test. Mesh robot geoms are excluded for now
+    # (foot spheres + primitive leg geoms cover the shipped robots' ground contact).
+    pairs = []
+    for gw in range(m.ngeom):
+        if m.geom_bodyid[gw] != 0:
+            continue
+        for gr in range(m.ngeom):
+            if m.geom_bodyid[gr] == 0 or m.geom_type[gr] == GEOM_MESH:
+                continue
+            compat = (m.geom_contype[gw] & m.geom_conaffinity[gr]) or \
+                     (m.geom_contype[gr] & m.geom_conaffinity[gw])
+            if compat:
+                pairs.append((gw, gr))
+    contact_pairs = np.array(pairs, np.int32).reshape(-1, 2)
+
+    nkey = max(m.nkey, 0)
+    if m.nhfield > 0:
+        hf_size = m.hfield_size[0].copy()
+        hf_nrow, hf_ncol = int(m.hfield_nrow[0]), int(m.hfield_ncol[0])
+        hf_data = m.hfield_data.reshape(hf_nrow, hf_ncol).copy()
+    else:
+        hf_size = np.zeros(4)
+        hf_nrow = hf_ncol = 0
+        hf_data = np.zeros((0, 0))
+
+    return Model(
+        robot=robot, scene=scene, hip_height=float(cfg.hip_height),
+        terrain_limits=tuple(float(x) for x in terrain_limits),
+        nq=int(m.nq), nv=int(m.nv), nu=int(m.nu), nbody=int(m.nbody),
+        njnt=int(m.njnt), ngeom=int(m.ngeom), nsite=int(m.nsite),
+        timestep=float(m.opt.timestep), gravity=m.opt.gravity.copy(),
+        cone=int(m.opt.cone), impratio=float(m.opt.impratio),
+        body_parentid=m.body_parentid.astype(np.int32),
+        body_jntadr=m.body_jntadr.astype(np.int32),
+        body_jntnum=m.body_jntnum.astype(np.int32),
+        body_dofadr=m.body_dofadr.astype(np.int32),
+        body_dofnum=m.body_dofnum.astype(np.int32),
+        body_geomadr=m.body_geomadr.astype(np.int32),
+        body_geomnum=m.body_geomnum.astype(np.int32),
+        body_pos=m.body_pos.copy(), body_quat=m.body_quat.copy(),
+        body_ipos=m.body_ipos.copy(), body_iquat=m.body_iquat.copy(),
+        body_mass=m.body_mass.copy(), body_inertia=m.body_inertia.copy(),
+        body_invweight0=m.body_invweight0.copy(),
+        jnt_type=m.jnt_type.astype(np.int32),
+        jnt_qposadr=m.jnt_qposadr.astype(np.int32),
+        jnt_dofadr=m.jnt_dofadr.astype(np.int32),
+        jnt_bodyid=m.jnt_bodyid.astype(np.int32),
+        jnt_limited=m.jnt_limited.astype(bool),
+        jnt_pos=m.jnt_pos.copy(), jnt_axis=m.jnt_axis.copy(),
+        jnt_range=m.jnt_range.copy(), jnt_stiffness=m.jnt_stiffness.copy(),
+        jnt_solref=m.jnt_solref.copy(), jnt_solimp=m.jnt_solimp.copy(),
+        jnt_margin=m.jnt_margin.copy(),
+        dof_bodyid=m.dof_bodyid.astype(np.int32),
+        dof_jntid=m.dof_jntid.astype(np.int32),
+        dof_parentid=m.dof_parentid.astype(np.int32),
+        dof_armature=m.dof_armature.copy(), dof_damping=m.dof_damping.copy(),
+        dof_frictionloss=m.dof_frictionloss.copy(),
+        dof_invweight0=m.dof_invweight0.copy(),
+        dof_solref=m.dof_solref.copy(), dof_solimp=m.dof_solimp.copy(),
+        geom_type=m.geom_type.astype(np.int32),
+        geom_bodyid=m.geom_bodyid.astype(np.int32),
+        geom_contype=m.geom_contype.astype(np.int32),
+        geom_conaffinity=m.geom_conaffinity.astype(np.int32),
+        geom_condim=m.geom_condim.astype(np.int32),
+        geom_priority=m.geom_priority.astype(np.int32),
+        geom_pos=m.geom_pos.copy(), geom_quat=m.geom_quat.copy(),
+        geom_size=m.geom_size.copy(), geom_friction=m.geom_friction.copy(),
+        geom_solmix=m.geom_solmix.copy(), geom_solref=m.geom_solref.copy(),
+        geom_solimp=m.geom_solimp.copy(), geom_margin=m.geom_margin.copy(),
+        geom_gap=m.geom_gap.copy(),
+        site_bodyid=m.site_bodyid.astype(np.int32),
+        site_pos=m.site_pos.copy(), site_quat=m.site_quat.copy(),
+        actuator_trnid=m.actuator_trnid[:, 0].astype(np.int32),
+        actuator_gear=m.actuator_gear[:, 0].copy(),
+        actuator_ctrlrange=m.actuator_ctrlrange.copy(),
+        actuator_ctrllimited=m.actuator_ctrllimited.astype(bool),
+        actuator_forcerange=m.actuator_forcerange.copy(),
+        actuator_forcelimited=m.actuator_forcelimited.astype(bool),
+        qpos0=m.qpos0.copy(), qpos_spring=m.qpos_spring.copy(),
+        key_qpos=m.key_qpos.reshape(nkey, m.nq).copy(),
+        key_qvel=m.key_qvel.reshape(nkey, m.nv).copy(),
+        key_ctrl=m.key_ctrl.reshape(nkey, m.nu).copy(),
+        hfield_size=hf_size, hfield_nrow=hf_nrow, hfield_ncol=hf_ncol,
+        hfield_data=hf_data,
+        body_names=body_names, jnt_names=jnt_names,
+        geom_names=geom_names, site_names=site_names,
+        feet_geom_id=feet_geom_id, feet_body_id=feet_body_id,
+        legs_qpos_idx=np.array(legs_qpos, np.int32),
+        legs_qvel_idx=np.array(legs_qvel, np.int32),
+        legs_tau_idx=np.array(legs_tau, np.int32),
+        hip_body_id=hip_body_id, imu_site_id=int(imu_site_id),
+        contact_pairs=contact_pairs,
+    )

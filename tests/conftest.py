@@ -1,0 +1,17 @@
+"""Test configuration.
+
+Tests run on a forced-CPU JAX backend with 8 virtual devices (multi-chip sharding
+tests without a pod) and float64 enabled (parity against float64 CPU MuJoCo).
+The TPU path is exercised by bench.py / __graft_entry__.py instead.
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_enable_x64', True)
