@@ -3,6 +3,10 @@
 Tests run on a forced-CPU JAX backend with 8 virtual devices (multi-chip sharding
 tests without a pod) and float64 enabled (parity against float64 CPU MuJoCo).
 The TPU path is exercised by bench.py / __graft_entry__.py instead.
+
+NOTE: third-party pytest plugins may import jax before this conftest runs, so the
+platform is forced through jax.config (honored until the backend is first used),
+not just environment variables.
 """
 
 import os
@@ -14,4 +18,7 @@ if 'xla_force_host_platform_device_count' not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+assert jax.devices()[0].platform == 'cpu', 'tests must run on the CPU backend'
