@@ -1,0 +1,349 @@
+"""Narrow-phase collision: robot primitives vs world geoms, fixed contact slots.
+
+Replaces MuJoCo's mj_collision stage. The candidate pair list is static
+(Model.contact_pairs, computed at build time from contype/conaffinity — SURVEY.md §7
+hard part (b)): every pair owns a fixed number of contact slots, each always computed
+and masked by `dist < margin`, so shapes are static under jit/vmap.
+
+Conventions match MuJoCo: contact normal points from geom1 (world) to geom2 (robot);
+`dist` is the signed surface separation (negative = penetration); `pos` is the
+midpoint; `frame` rows are (normal, tangent1, tangent2) with MuJoCo's mju_makeNormal
+tangent construction (pyramidal-cone parity requires the exact tangent basis).
+
+Supported pairs: {sphere, capsule} × {plane, box, hfield} and box×plane,
+cylinder×plane (endpoint approximation) — covers the ground contacts of all shipped
+robots after mesh stripping (feet are spheres: go2.xml:113, mini_cheetah.xml:78).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_quadruped_tpu.models.model import (
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_CYLINDER,
+    GEOM_HFIELD,
+    GEOM_PLANE,
+    GEOM_SPHERE,
+    Model,
+)
+
+
+# ---------------------------------------------------------------------------------
+# static contact layout
+# ---------------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PairSpec:
+    """Static description of one candidate pair's contact slots + combined params."""
+
+    geom1: int           # world geom
+    geom2: int           # robot geom
+    ncon: int            # number of contact slots
+    condim: int
+    friction: tuple      # length 5: (t, t, torsion, roll, roll)
+    solref: tuple        # (2,)
+    solimp: tuple        # (5,)
+    margin: float
+    gap: float
+
+
+def _combine_params(m: Model, g1: int, g2: int) -> tuple:
+    """MuJoCo's contact parameter combination (priority / solmix / max rules)."""
+    p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
+    margin = max(float(m.geom_margin[g1]), float(m.geom_margin[g2]))
+    gap = max(float(m.geom_gap[g1]), float(m.geom_gap[g2]))
+    if p1 != p2:
+        g = g1 if p1 > p2 else g2
+        condim = int(m.geom_condim[g])
+        fri3 = m.geom_friction[g]
+        solref = m.geom_solref[g]
+        solimp = m.geom_solimp[g]
+    else:
+        condim = int(max(m.geom_condim[g1], m.geom_condim[g2]))
+        fri3 = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
+        s1, s2 = float(m.geom_solmix[g1]), float(m.geom_solmix[g2])
+        if s1 > 0 and s2 > 0:
+            mix = s1 / (s1 + s2)
+        elif s1 == 0 and s2 == 0:
+            mix = 0.5
+        else:
+            mix = 1.0 if s1 > 0 else 0.0
+        r1, r2 = m.geom_solref[g1], m.geom_solref[g2]
+        if r1[0] > 0 and r2[0] > 0:
+            solref = mix * r1 + (1 - mix) * r2
+        else:
+            solref = np.minimum(r1, r2)
+        solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+    friction = (float(fri3[0]), float(fri3[0]), float(fri3[1]),
+                float(fri3[2]), float(fri3[2]))
+    return condim, friction, tuple(float(x) for x in solref), \
+        tuple(float(x) for x in solimp), margin, gap
+
+
+_NCON_TABLE = {
+    (GEOM_PLANE, GEOM_SPHERE): 1,
+    (GEOM_PLANE, GEOM_CAPSULE): 2,
+    (GEOM_PLANE, GEOM_BOX): 4,
+    (GEOM_PLANE, GEOM_CYLINDER): 3,
+    (GEOM_BOX, GEOM_SPHERE): 1,
+    (GEOM_BOX, GEOM_CAPSULE): 2,
+    (GEOM_HFIELD, GEOM_SPHERE): 1,
+    (GEOM_HFIELD, GEOM_CAPSULE): 2,
+}
+
+
+@functools.lru_cache(maxsize=64)
+def _layout_cached(key) -> tuple:
+    m: Model = _MODEL_CACHE[key]
+    specs = []
+    for g1, g2 in np.asarray(m.contact_pairs):
+        t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+        ncon = _NCON_TABLE.get((t1, t2))
+        if ncon is None:
+            continue  # unsupported pair (logged at build; none for shipped robots)
+        condim, friction, solref, solimp, margin, gap = _combine_params(m, g1, g2)
+        specs.append(PairSpec(int(g1), int(g2), ncon, condim, friction,
+                              solref, solimp, margin, gap))
+    return tuple(specs)
+
+
+_MODEL_CACHE: dict = {}
+
+
+def contact_layout(m: Model) -> tuple:
+    key = id(m)
+    _MODEL_CACHE[key] = m
+    return _layout_cached(key)
+
+
+def total_contact_slots(m: Model) -> int:
+    return sum(s.ncon for s in contact_layout(m))
+
+
+# ---------------------------------------------------------------------------------
+# primitive tests — each returns (dist (k,), pos (k,3), normal (3,) or (k,3))
+# ---------------------------------------------------------------------------------
+
+def _plane_sphere(ppos, pmat, center, radius):
+    n = pmat[:, 2]
+    d = jnp.dot(n, center - ppos) - radius
+    pos = center - n * (radius + 0.5 * d)
+    return d[None], pos[None], jnp.broadcast_to(n, (1, 3))
+
+
+def _plane_capsule(ppos, pmat, cpos, cmat, radius, halflen):
+    n = pmat[:, 2]
+    axis = cmat[:, 2]
+    e1 = cpos + axis * halflen
+    e2 = cpos - axis * halflen
+    d1 = jnp.dot(n, e1 - ppos) - radius
+    d2 = jnp.dot(n, e2 - ppos) - radius
+    p1 = e1 - n * (radius + 0.5 * d1)
+    p2 = e2 - n * (radius + 0.5 * d2)
+    return jnp.stack([d1, d2]), jnp.stack([p1, p2]), jnp.broadcast_to(n, (2, 3))
+
+
+def _plane_box(ppos, pmat, bpos, bmat, size):
+    """4 deepest corners of the box vs the plane (MuJoCo keeps ≤4 corner contacts)."""
+    n = pmat[:, 2]
+    signs = jnp.asarray(np.array(
+        [[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1],
+         [-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1]], np.float64), size.dtype)
+    corners = bpos[None, :] + (signs * size[None, :]) @ bmat.T  # (8, 3)
+    d = corners @ n - jnp.dot(n, ppos)  # (8,)
+    # pick 4 smallest distances (static top-k)
+    idx = jnp.argsort(d)[:4]
+    d4 = d[idx]
+    pos = corners[idx] - 0.5 * d4[:, None] * n[None, :]
+    return d4, pos, jnp.broadcast_to(n, (4, 3))
+
+
+def _plane_cylinder(ppos, pmat, cpos, cmat, radius, halflen):
+    """3 support points on each rim edge nearest the plane (approximation of
+    MuJoCo's plane-cylinder: exact when resting flat or on rim edge)."""
+    n = pmat[:, 2]
+    axis = cmat[:, 2]
+    # rim direction: component of -n orthogonal to axis
+    proj = -n + axis * jnp.dot(axis, n)
+    norm = jnp.linalg.norm(proj)
+    safe = jnp.where(norm > 1e-10, proj / jnp.maximum(norm, 1e-10), pmat[:, 0])
+    ds, ps = [], []
+    for s in (1.0, -1.0):
+        e = cpos + axis * (halflen * s)
+        rim = e + safe * radius
+        d = jnp.dot(n, rim - ppos)
+        ds.append(d)
+        ps.append(rim - 0.5 * d * n)
+    # center point for flat resting
+    dc = jnp.dot(n, cpos - ppos) - jnp.abs(jnp.dot(n, axis)) * halflen - \
+        jnp.linalg.norm(proj) * 0.0
+    ds.append(dc)
+    ps.append(cpos - 0.5 * dc * n)
+    return jnp.stack(ds), jnp.stack(ps), jnp.broadcast_to(n, (3, 3))
+
+
+def _box_sphere(bpos, bmat, size, center, radius):
+    """Sphere vs box: closest-point; handles center-inside-box."""
+    local = bmat.T @ (center - bpos)
+    clamped = jnp.clip(local, -size, size)
+    delta = local - clamped
+    dist_out = jnp.linalg.norm(delta)
+    inside = dist_out < 1e-12
+    # inside: push out along the axis of least penetration
+    depth = size - jnp.abs(local)
+    ax = jnp.argmin(depth)
+    sign = jnp.where(local[ax] >= 0, 1.0, -1.0)
+    n_in = jnp.zeros(3, local.dtype).at[ax].set(sign)
+    surf_in = local.at[ax].set(sign * size[ax])
+    n_out = delta / jnp.maximum(dist_out, 1e-12)
+    n_local = jnp.where(inside, n_in, n_out)
+    surface_local = jnp.where(inside, surf_in, clamped)
+    d = jnp.where(inside, -(depth[ax] + radius), dist_out - radius)
+    n = bmat @ n_local
+    surface = bmat @ surface_local + bpos
+    pos = surface + 0.5 * d * n
+    return d[None], pos[None], n[None]
+
+
+def _box_capsule(bpos, bmat, size, cpos, cmat, radius, halflen):
+    """Capsule vs box via two endpoint spheres (covers feet/calf-on-step cases)."""
+    axis = cmat[:, 2]
+    outs = [_box_sphere(bpos, bmat, size, cpos + axis * (s * halflen), radius)
+            for s in (1.0, -1.0)]
+    d = jnp.concatenate([o[0] for o in outs])
+    p = jnp.concatenate([o[1] for o in outs])
+    n = jnp.concatenate([o[2] for o in outs])
+    return d, p, n
+
+
+def hfield_height(m: Model, x, y, dtype):
+    """Bilinear surface height of the heightfield at world (x, y)."""
+    sz = jnp.asarray(m.hfield_size, dtype)
+    nr, nc = m.hfield_nrow, m.hfield_ncol
+    data = jnp.asarray(m.hfield_data, dtype)  # (nrow, ncol) in [0,1]
+    # grid coords: x in [-sx, sx] → col in [0, ncol-1]; y → row
+    fx = (x / sz[0] + 1.0) * 0.5 * (nc - 1)
+    fy = (y / sz[1] + 1.0) * 0.5 * (nr - 1)
+    fx = jnp.clip(fx, 0.0, nc - 1.001)
+    fy = jnp.clip(fy, 0.0, nr - 1.001)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx, ty = fx - x0, fy - y0
+    h00 = data[y0, x0]
+    h01 = data[y0, x0 + 1]
+    h10 = data[y0 + 1, x0]
+    h11 = data[y0 + 1, x0 + 1]
+    h = (h00 * (1 - tx) * (1 - ty) + h01 * tx * (1 - ty) +
+         h10 * (1 - tx) * ty + h11 * tx * ty)
+    return h * sz[2]  # elevation above hfield base
+
+
+def _hfield_sphere(m: Model, hpos, hmat, center, radius):
+    """Sphere vs heightfield: local surface-plane approximation from the bilinear
+    patch under the sphere (exact prism collision deferred; adequate at hfield
+    resolutions ≥ foot radius)."""
+    dtype = center.dtype
+    local = hmat.T @ (center - hpos)
+    eps = jnp.asarray(1e-4, dtype)
+    h0 = hfield_height(m, local[0], local[1], dtype)
+    hx = hfield_height(m, local[0] + eps, local[1], dtype)
+    hy = hfield_height(m, local[0], local[1] + eps, dtype)
+    # surface normal from gradient
+    n_local = jnp.stack([-(hx - h0) / eps, -(hy - h0) / eps, jnp.ones((), dtype)])
+    n_local = n_local / jnp.linalg.norm(n_local)
+    d = (local[2] - h0) * n_local[2] - radius
+    n = hmat @ n_local
+    pos = center - n * (radius + 0.5 * d)
+    return d[None], pos[None], n[None]
+
+
+def _hfield_capsule(m, hpos, hmat, cpos, cmat, radius, halflen):
+    axis = cmat[:, 2]
+    outs = [_hfield_sphere(m, hpos, hmat, cpos + axis * (s * halflen), radius)
+            for s in (1.0, -1.0)]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]),
+            jnp.concatenate([o[2] for o in outs]))
+
+
+# ---------------------------------------------------------------------------------
+# contact frame (MuJoCo mju_makeFrame tangents)
+# ---------------------------------------------------------------------------------
+
+def make_frame(n: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) normal → (..., 3, 3) frame rows (n, t1, t2), MuJoCo mju_makeFrame:
+    pick the world axis least aligned with n (strict-< comparisons, so ties pick the
+    later axis), Gram-Schmidt it against n for t1, then t2 = n × t1."""
+    ax, ay, az = jnp.abs(n[..., 0]), jnp.abs(n[..., 1]), jnp.abs(n[..., 2])
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], n.dtype), n.shape)
+    ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n.dtype), n.shape)
+    ez = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], n.dtype), n.shape)
+    pick_x = (ax < ay) & (ax < az)
+    pick_y = (~pick_x) & (ay < az)
+    helper = jnp.where(pick_x[..., None], ex, jnp.where(pick_y[..., None], ey, ez))
+    t1 = helper - n * jnp.sum(n * helper, axis=-1, keepdims=True)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True),
+                          jnp.asarray(1e-12, n.dtype))
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2], axis=-2)
+
+
+# ---------------------------------------------------------------------------------
+# full narrow phase
+# ---------------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Contacts:
+    """Fixed-slot contact set (one env). Slot order is static per model."""
+
+    dist: Any    # (ncon,)
+    pos: Any     # (ncon, 3)
+    frame: Any   # (ncon, 3, 3) rows (n, t1, t2)
+
+
+def collide(m: Model, kin) -> Contacts:
+    """Compute all contact slots from FK results."""
+    dtype = kin.geom_xpos.dtype
+    size = jnp.asarray(m.geom_size, dtype)
+    dists, poss, normals = [], [], []
+    for spec in contact_layout(m):
+        g1, g2 = spec.geom1, spec.geom2
+        t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
+        p1, R1 = kin.geom_xpos[g1], kin.geom_xmat[g1]
+        p2, R2 = kin.geom_xpos[g2], kin.geom_xmat[g2]
+        if t1 == GEOM_PLANE and t2 == GEOM_SPHERE:
+            d, p, n = _plane_sphere(p1, R1, p2, size[g2, 0])
+        elif t1 == GEOM_PLANE and t2 == GEOM_CAPSULE:
+            d, p, n = _plane_capsule(p1, R1, p2, R2, size[g2, 0], size[g2, 1])
+        elif t1 == GEOM_PLANE and t2 == GEOM_BOX:
+            d, p, n = _plane_box(p1, R1, p2, R2, size[g2])
+        elif t1 == GEOM_PLANE and t2 == GEOM_CYLINDER:
+            d, p, n = _plane_cylinder(p1, R1, p2, R2, size[g2, 0], size[g2, 1])
+        elif t1 == GEOM_BOX and t2 == GEOM_SPHERE:
+            d, p, n = _box_sphere(p1, R1, size[g1], p2, size[g2, 0])
+        elif t1 == GEOM_BOX and t2 == GEOM_CAPSULE:
+            d, p, n = _box_capsule(p1, R1, size[g1], p2, R2, size[g2, 0], size[g2, 1])
+        elif t1 == GEOM_HFIELD and t2 == GEOM_SPHERE:
+            d, p, n = _hfield_sphere(m, p1, R1, p2, size[g2, 0])
+        elif t1 == GEOM_HFIELD and t2 == GEOM_CAPSULE:
+            d, p, n = _hfield_capsule(m, p1, R1, p2, R2, size[g2, 0], size[g2, 1])
+        else:  # pragma: no cover - layout filters unsupported pairs
+            raise AssertionError((t1, t2))
+        dists.append(d)
+        poss.append(p)
+        normals.append(n)
+    if not dists:
+        return Contacts(jnp.zeros(0, dtype), jnp.zeros((0, 3), dtype),
+                        jnp.zeros((0, 3, 3), dtype))
+    n_all = jnp.concatenate(normals)
+    return Contacts(jnp.concatenate(dists), jnp.concatenate(poss),
+                    make_frame(n_all))

@@ -1,0 +1,328 @@
+"""Constraint assembly: MuJoCo's soft-constraint model with static row layout.
+
+Replaces mj_makeConstraint / mj_projectConstraint. Two static-shape groups:
+
+  * SIMPLE rows — row-separable costs: dof friction-loss (Huber), joint limits
+    (one-sided), frictionless contact normals, and pyramidal contact rows
+    (J_n ± μᵢ·J_fi pairs). Stored as a dense (ns, nv) Jacobian.
+  * CONE blocks — elliptic contacts with condim > 1: per contact slot a padded
+    (6, nv) Jacobian + (6,) aref/R with a static dim mask; the solver applies the
+    dual-cone projection cost per block, vectorized over slots.
+
+Soft-constraint parameters per row (verified numerically against mjData.efc_*,
+scripts/probe_efc.py):
+  x      = pos − margin                       (constraint violation)
+  imp(x) = d0 + (d1−d0)·spline(|x|/width)     (solimp midpoint/power sigmoid)
+  B      = 2/(d1·timeconst),  K = 1/(d1²·timeconst²·dampratio²)
+  aref   = −B·(J qvel) − K·imp·x              (friction rows: no position term)
+  R      = max(1−imp, 1e−4)/imp · diagApprox  (D = 1/R)
+  diagApprox: dof_invweight0 (dof rows); body_invweight0[b,0] sums (contact
+    normals); pyramidal row i: 2·(inv_t + μᵢ²·inv_dim_i); elliptic friction row i:
+    inv_t·(μ₀/μᵢ)²/impratio (go2.xml:4 impratio=100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_quadruped_tpu.models.model import CONE_ELLIPTIC, Model
+from gym_quadruped_tpu.physics.collision import Contacts, contact_layout
+from gym_quadruped_tpu.physics.kinematics import Kin, ancestor_dof_mask
+
+
+# ---------------------------------------------------------------------------------
+# static layout
+# ---------------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ConstraintLayout:
+    """Static constraint structure (numpy, trace-time constants)."""
+
+    fl_dofs: np.ndarray        # (nfl,)
+    lim_jnts: np.ndarray       # (nlim,)
+    n_fl: int
+    n_lim: int
+    elliptic: bool
+    # contact slots (parallel to collision slot order)
+    con_condim: np.ndarray     # (S,)
+    con_mu: np.ndarray         # (S, 5)
+    con_solref: np.ndarray     # (S, 2)
+    con_solimp: np.ndarray     # (S, 5)
+    con_margin: np.ndarray     # (S,)
+    con_body: np.ndarray       # (S,) robot body of geom2
+    con_geom2: np.ndarray      # (S,) robot geom id (for per-foot force extraction)
+    # derived
+    n_simple: int              # total simple rows
+    simple_unilateral: np.ndarray  # (n_simple,) bool (False → huber/fl row)
+    con_is_cone: np.ndarray    # (S,) bool — handled as cone block
+    cone_slots: np.ndarray     # indices of cone slots
+    simple_con_slots: np.ndarray  # indices of slots emitted as simple rows
+    cone_dim_mask: np.ndarray  # (n_cone, 6)
+
+
+_MODEL_CACHE: dict = {}
+
+
+@functools.lru_cache(maxsize=64)
+def _layout_cached(key) -> ConstraintLayout:
+    m: Model = _MODEL_CACHE[key]
+    fl_dofs = np.where(np.asarray(m.dof_frictionloss) > 0)[0].astype(np.int32)
+    lim_jnts = np.where(np.asarray(m.jnt_limited))[0].astype(np.int32)
+    elliptic = int(m.cone) == CONE_ELLIPTIC
+
+    specs = contact_layout(m)
+    condims, mus, solrefs, solimps, margins, bodies, geom2s = [], [], [], [], [], [], []
+    for spec in specs:
+        for _ in range(spec.ncon):
+            condims.append(spec.condim)
+            mus.append(spec.friction)
+            solrefs.append(spec.solref)
+            solimps.append(spec.solimp)
+            margins.append(spec.margin)
+            bodies.append(int(m.geom_bodyid[spec.geom2]))
+            geom2s.append(spec.geom2)
+    condims = np.array(condims, np.int32)
+    S = len(condims)
+    is_cone = np.array([elliptic and cd > 1 for cd in condims], bool)
+    cone_slots = np.where(is_cone)[0].astype(np.int32)
+    simple_slots = np.where(~is_cone)[0].astype(np.int32)
+
+    n_simple = len(fl_dofs) + len(lim_jnts)
+    for s in simple_slots:
+        cd = int(condims[s])
+        n_simple += 1 if cd == 1 else 2 * (cd - 1)
+    unilateral = np.ones(n_simple, bool)
+    unilateral[:len(fl_dofs)] = False  # huber rows
+
+    cone_dim_mask = np.zeros((len(cone_slots), 6), np.float64)
+    for i, s in enumerate(cone_slots):
+        cone_dim_mask[i, :int(condims[s])] = 1.0
+
+    return ConstraintLayout(
+        fl_dofs=fl_dofs, lim_jnts=lim_jnts,
+        n_fl=len(fl_dofs), n_lim=len(lim_jnts), elliptic=elliptic,
+        con_condim=condims,
+        con_mu=np.array(mus, np.float64).reshape(S, 5),
+        con_solref=np.array(solrefs, np.float64).reshape(S, 2),
+        con_solimp=np.array(solimps, np.float64).reshape(S, 5),
+        con_margin=np.array(margins, np.float64).reshape(S),
+        con_body=np.array(bodies, np.int32),
+        con_geom2=np.array(geom2s, np.int32),
+        n_simple=n_simple,
+        simple_unilateral=unilateral,
+        con_is_cone=is_cone, cone_slots=cone_slots,
+        simple_con_slots=simple_slots,
+        cone_dim_mask=cone_dim_mask)
+
+
+def constraint_layout(m: Model) -> ConstraintLayout:
+    key = id(m)
+    _MODEL_CACHE[key] = m
+    return _layout_cached(key)
+
+
+# ---------------------------------------------------------------------------------
+# soft-constraint scalar model
+# ---------------------------------------------------------------------------------
+
+def impedance(solimp, x):
+    """Position-dependent impedance d(x) (solimp spline), clamped to (1e-4, 1-1e-4)."""
+    d0, d1, width, mid, power = (solimp[..., 0], solimp[..., 1], solimp[..., 2],
+                                 solimp[..., 3], solimp[..., 4])
+    y = jnp.minimum(jnp.abs(x) / jnp.maximum(width, 1e-12), 1.0)
+    lo = mid ** (1.0 - power) * y ** power
+    hi = 1.0 - (1.0 - mid) ** (1.0 - power) * (1.0 - y) ** power
+    z = jnp.where(y < mid, lo, hi)
+    return jnp.clip(d0 + z * (d1 - d0), 1e-4, 1.0 - 1e-4)
+
+
+def kb(solref, solimp):
+    """Stiffness K and damping B from solref (negative solref = direct spec)."""
+    tc, dr = solref[..., 0], solref[..., 1]
+    d1 = solimp[..., 1]
+    K_std = 1.0 / jnp.maximum(d1 * d1 * tc * tc * dr * dr, 1e-12)
+    B_std = 2.0 / jnp.maximum(d1 * tc, 1e-12)
+    K_dir = -tc / jnp.maximum(d1 * d1, 1e-12)
+    B_dir = -dr / jnp.maximum(d1, 1e-12)
+    std = jnp.minimum(tc, dr) > 0
+    return jnp.where(std, K_std, K_dir), jnp.where(std, B_std, B_dir)
+
+
+# ---------------------------------------------------------------------------------
+# efc data (traced)
+# ---------------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Efc:
+    """Assembled constraint rows (one env). Simple rows + padded cone blocks."""
+
+    J: Any            # (ns, nv)
+    aref: Any         # (ns,)
+    R: Any            # (ns,)
+    active: Any       # (ns,) bool
+    frictionloss: Any  # (ns,)
+    con_J: Any        # (C, 6, nv)
+    con_aref: Any     # (C, 6)
+    con_R: Any        # (C, 6)
+    con_active: Any   # (C,) bool
+    # per-slot contact frame force for ALL slots (filled post-solve)
+
+
+def _point_jacobians(m: Model, kin: Kin, cdof: jnp.ndarray, pos: jnp.ndarray,
+                     body_ids: np.ndarray):
+    """Translational/rotational jacobians (k, 3, nv) for k points on bodies."""
+    omega = cdof[:, :3]
+    v0 = cdof[:, 3:]
+    vp = v0[None] + jnp.cross(
+        jnp.broadcast_to(omega[None], (pos.shape[0],) + omega.shape),
+        pos[:, None, :])  # (k, nv, 3)
+    masks = np.stack([ancestor_dof_mask(m, int(b)) for b in body_ids])
+    masks_j = jnp.asarray(masks, pos.dtype)[..., None]
+    jacp = jnp.swapaxes(vp * masks_j, 1, 2)
+    jacr = jnp.swapaxes(omega[None] * masks_j, 1, 2)
+    return jacp, jacr
+
+
+def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
+             contacts: Contacts, cdof: jnp.ndarray) -> Efc:
+    dtype = qpos.dtype
+    lay = constraint_layout(m)
+    nv = m.nv
+    J_rows, aref_rows, R_rows, act_rows, fl_rows = [], [], [], [], []
+
+    # ---- 1. dof friction loss ------------------------------------------------------
+    if lay.n_fl:
+        dofs = lay.fl_dofs
+        solref = jnp.asarray(m.dof_solref[dofs], dtype)
+        solimp = jnp.asarray(m.dof_solimp[dofs], dtype)
+        imp = impedance(solimp, jnp.zeros(len(dofs), dtype))
+        _, B = kb(solref, solimp)
+        eye_rows = jnp.zeros((len(dofs), nv), dtype)
+        eye_rows = eye_rows.at[jnp.arange(len(dofs)), dofs].set(1.0)
+        J_rows.append(eye_rows)
+        aref_rows.append(-B * qvel[dofs])
+        R_rows.append(jnp.maximum(1.0 - imp, 1e-4) / imp *
+                      jnp.asarray(m.dof_invweight0[dofs], dtype))
+        act_rows.append(jnp.ones(len(dofs), bool))
+        fl_rows.append(jnp.asarray(m.dof_frictionloss[dofs], dtype))
+
+    # ---- 2. joint limits -------------------------------------------------------------
+    if lay.n_lim:
+        jids = lay.lim_jnts
+        qadr = m.jnt_qposadr[jids]
+        dadr = m.jnt_dofadr[jids]
+        lo = jnp.asarray(m.jnt_range[jids, 0], dtype)
+        hi = jnp.asarray(m.jnt_range[jids, 1], dtype)
+        dist_lo = qpos[qadr] - lo
+        dist_hi = hi - qpos[qadr]
+        low_side = dist_lo < dist_hi
+        dist = jnp.where(low_side, dist_lo, dist_hi)
+        sign = jnp.where(low_side, 1.0, -1.0).astype(dtype)
+        Jl = jnp.zeros((len(jids), nv), dtype)
+        Jl = Jl.at[jnp.arange(len(jids)), dadr].set(sign)
+        margin = jnp.asarray(m.jnt_margin[jids], dtype)
+        solref = jnp.asarray(m.jnt_solref[jids], dtype)
+        solimp = jnp.asarray(m.jnt_solimp[jids], dtype)
+        x = dist - margin
+        imp = impedance(solimp, x)
+        K, B = kb(solref, solimp)
+        J_rows.append(Jl)
+        aref_rows.append(-B * (sign * qvel[dadr]) - K * imp * x)
+        R_rows.append(jnp.maximum(1.0 - imp, 1e-4) / imp *
+                      jnp.asarray(m.dof_invweight0[dadr], dtype))
+        act_rows.append(dist < margin)
+        fl_rows.append(jnp.zeros(len(jids), dtype))
+
+    # ---- 3. contacts ------------------------------------------------------------------
+    S = len(lay.con_condim)
+    C = len(lay.cone_slots)
+    if S:
+        jacp, jacr = _point_jacobians(m, kin, cdof, contacts.pos, lay.con_body)
+        # project onto contact frames: dirs (S, 6, nv) = rows (n,t1,t2, rn,rt1,rt2)
+        dirs_t = jnp.einsum('sij,sjv->siv', contacts.frame, jacp)
+        dirs_r = jnp.einsum('sij,sjv->siv', contacts.frame, jacr)
+        dirs = jnp.concatenate([dirs_t, dirs_r[:, [0, 1, 2]]], axis=1)  # (S,6,nv)
+
+        inv_t = jnp.asarray(m.body_invweight0[:, 0], dtype)[lay.con_body]
+        inv_r = jnp.asarray(m.body_invweight0[:, 1], dtype)[lay.con_body]
+        margin = jnp.asarray(lay.con_margin, dtype)
+        solref = jnp.asarray(lay.con_solref, dtype)
+        solimp = jnp.asarray(lay.con_solimp, dtype)
+        x = contacts.dist - margin
+        imp = impedance(solimp, x)
+        K, B = kb(solref, solimp)
+        include = contacts.dist < margin
+        rimp = jnp.maximum(1.0 - imp, 1e-4) / imp
+        vel6 = jnp.einsum('sdv,v->sd', dirs, qvel)  # (S, 6)
+        aref_n = -B * vel6[:, 0] - K * imp * x
+
+        # simple-row contacts (frictionless, or pyramidal model)
+        for s in lay.simple_con_slots:
+            s = int(s)
+            cd = int(lay.con_condim[s])
+            if cd == 1:
+                J_rows.append(dirs[s, 0][None])
+                aref_rows.append(aref_n[s][None])
+                R_rows.append((rimp[s] * inv_t[s])[None])
+                act_rows.append(include[s][None])
+                fl_rows.append(jnp.zeros(1, dtype))
+            else:
+                fri_inv = [inv_t[s], inv_t[s], inv_r[s], inv_r[s], inv_r[s]]
+                for i in range(cd - 1):
+                    mu_i = float(lay.con_mu[s, i])
+                    diag = 2.0 * (inv_t[s] + mu_i * mu_i * fri_inv[i])
+                    for sgn in (1.0, -1.0):
+                        Jr = dirs[s, 0] + sgn * mu_i * dirs[s, 1 + i]
+                        vel = vel6[s, 0] + sgn * mu_i * vel6[s, 1 + i]
+                        J_rows.append(Jr[None])
+                        aref_rows.append((-B[s] * vel - K[s] * imp[s] * x[s])[None])
+                        R_rows.append((rimp[s] * diag)[None])
+                        act_rows.append(include[s][None])
+                        fl_rows.append(jnp.zeros(1, dtype))
+
+        # cone blocks (elliptic, condim>1) — vectorized
+        if C:
+            cs = lay.cone_slots
+            dim_mask = jnp.asarray(lay.cone_dim_mask, dtype)  # (C, 6)
+            mu = jnp.asarray(lay.con_mu[cs], dtype)           # (C, 5)
+            mu0 = mu[:, 0]
+            con_J = dirs[cs] * dim_mask[:, :, None]
+            aref_f = -B[cs, None] * vel6[cs, 1:]  # friction rows: no K term
+            con_aref = jnp.concatenate([aref_n[cs][:, None], aref_f], axis=1) * dim_mask
+            # R: normal = rimp*inv_t; friction i = rimp*inv_t*(mu0/mu_i)^2/impratio
+            R_fric = (rimp[cs, None] * inv_t[cs, None] *
+                      (mu0[:, None] / jnp.maximum(mu, 1e-12)) ** 2 / m.impratio)
+            con_R = jnp.concatenate([(rimp[cs] * inv_t[cs])[:, None], R_fric], axis=1)
+            con_R = jnp.where(dim_mask > 0, con_R, 1.0)
+            con_active = include[cs]
+        else:
+            con_J = jnp.zeros((0, 6, nv), dtype)
+            con_aref = jnp.zeros((0, 6), dtype)
+            con_R = jnp.ones((0, 6), dtype)
+            con_active = jnp.zeros((0,), bool)
+    else:
+        con_J = jnp.zeros((0, 6, nv), dtype)
+        con_aref = jnp.zeros((0, 6), dtype)
+        con_R = jnp.ones((0, 6), dtype)
+        con_active = jnp.zeros((0,), bool)
+
+    if J_rows:
+        J = jnp.concatenate(J_rows)
+        aref = jnp.concatenate(aref_rows)
+        R = jnp.concatenate(R_rows)
+        active = jnp.concatenate(act_rows)
+        fl = jnp.concatenate(fl_rows)
+    else:
+        J = jnp.zeros((0, nv), dtype)
+        aref = R = fl = jnp.zeros((0,), dtype)
+        active = jnp.zeros((0,), bool)
+    assert J.shape[0] == lay.n_simple, (J.shape, lay.n_simple)
+    return Efc(J=J, aref=aref, R=R, active=active, frictionloss=fl,
+               con_J=con_J, con_aref=con_aref, con_R=con_R, con_active=con_active)

@@ -1,0 +1,129 @@
+"""Full forward dynamics + semi-implicit Euler step (mj_forward / mj_step parity).
+
+Pipeline per step (cf. SURVEY.md §3.2's hot loop, executed as ONE fused XLA program
+instead of the reference's Python→C fan-out):
+  FK → cdof → CRBA M → RNE bias → passive → actuation → collide → efc assembly →
+  Newton constraint solve → Euler integration with implicit joint damping
+  (MuJoCo's Euler integrator solves (M + h·diag(damping)) for the velocity update).
+
+Single-env pure functions; batch = vmap, multi-chip = shard_map (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_quadruped_tpu.models.model import FREE, BALL, Model
+from gym_quadruped_tpu.physics import dynamics
+from gym_quadruped_tpu.physics.collision import Contacts, collide
+from gym_quadruped_tpu.physics.constraints import Efc, constraint_layout, make_efc
+from gym_quadruped_tpu.physics.kinematics import Kin, cdof as _cdof, fk
+from gym_quadruped_tpu.physics.solver import solve
+from gym_quadruped_tpu.utils.maths import quat_integrate
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Forward:
+    """Forward-dynamics results (one env) — the mjData subset the env layer reads."""
+
+    kin: Kin
+    cdof: Any            # (nv, 6)
+    M: Any               # (nv, nv)
+    qfrc_bias: Any       # (nv,)
+    qfrc_passive: Any    # (nv,)
+    qfrc_actuator: Any   # (nv,)
+    qfrc_smooth: Any     # (nv,)
+    qacc_smooth: Any     # (nv,)
+    contacts: Contacts
+    efc: Efc
+    qacc: Any            # (nv,) constrained acceleration
+    efc_force: Any       # (n_simple,) simple-row forces
+    f_cone: Any          # (C, 6) elliptic block forces (contact frame)
+    qfrc_constraint: Any  # (nv,)
+
+
+def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
+            warmstart=None, solver_iterations: int = 10) -> Forward:
+    dtype = qpos.dtype
+    if qfrc_applied is None:
+        qfrc_applied = jnp.zeros(m.nv, dtype)
+
+    kin = fk(m, qpos)
+    cdof = _cdof(m, kin)
+    M = dynamics.mass_matrix(m, kin, cdof)
+    bias = dynamics.rne_bias(m, kin, qvel, cdof)
+    passive = dynamics.passive_force(m, qpos, qvel)
+    act = dynamics.actuator_force(m, ctrl)
+    qfrc_smooth = passive + act + qfrc_applied - bias
+
+    L = jax.scipy.linalg.cho_factor(M, lower=True)
+    qacc_smooth = jax.scipy.linalg.cho_solve(L, qfrc_smooth)
+
+    contacts = collide(m, kin)
+    efc = make_efc(m, kin, qpos, qvel, contacts, cdof)
+    lay = constraint_layout(m)
+    qacc, f_simple, f_cone, qfrc_constraint = solve(
+        m, lay, M, qacc_smooth, efc,
+        warmstart=warmstart, iterations=solver_iterations)
+
+    return Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,
+                   qfrc_actuator=act, qfrc_smooth=qfrc_smooth,
+                   qacc_smooth=qacc_smooth, contacts=contacts, efc=efc,
+                   qacc=qacc, efc_force=f_simple, f_cone=f_cone,
+                   qfrc_constraint=qfrc_constraint)
+
+
+def integrate_pos(m: Model, qpos, qvel, h) -> jnp.ndarray:
+    """mj_integratePos: position update respecting quaternion manifolds."""
+    parts = []
+    covered = np.zeros(m.nq, bool)
+    out = qpos
+    for j in range(m.njnt):
+        jtype = int(m.jnt_type[j])
+        qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+        if jtype == FREE:
+            pos = qpos[qadr:qadr + 3] + h * qvel[dadr:dadr + 3]
+            quat = quat_integrate(qpos[qadr + 3:qadr + 7], qvel[dadr + 3:dadr + 6], h)
+            out = jax.lax.dynamic_update_slice(out, pos, (qadr,))
+            out = jax.lax.dynamic_update_slice(out, quat, (qadr + 3,))
+            covered[qadr:qadr + 7] = True
+        elif jtype == BALL:
+            quat = quat_integrate(qpos[qadr:qadr + 4], qvel[dadr:dadr + 3], h)
+            out = jax.lax.dynamic_update_slice(out, quat, (qadr,))
+            covered[qadr:qadr + 4] = True
+        else:
+            out = out.at[qadr].set(qpos[qadr] + h * qvel[dadr])
+            covered[qadr] = True
+    del parts, covered
+    return out
+
+
+def euler(m: Model, qpos, qvel, fwd: Forward):
+    """mj_Euler: semi-implicit Euler with implicit joint damping."""
+    dtype = qpos.dtype
+    h = jnp.asarray(m.timestep, dtype)
+    qfrc = fwd.qfrc_smooth + fwd.qfrc_constraint
+    damping = np.asarray(m.dof_damping)
+    if np.any(damping > 0):
+        MhB = fwd.M + h * jnp.diag(jnp.asarray(damping, dtype))
+        L = jax.scipy.linalg.cho_factor(MhB, lower=True)
+        qacc_int = jax.scipy.linalg.cho_solve(L, qfrc)
+    else:
+        qacc_int = fwd.qacc
+    qvel_new = qvel + h * qacc_int
+    qpos_new = integrate_pos(m, qpos, qvel_new, h)
+    return qpos_new, qvel_new
+
+
+def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
+         solver_iterations: int = 10):
+    """mj_step equivalent: returns (qpos', qvel', Forward-at-old-state)."""
+    fwd = forward(m, qpos, qvel, ctrl, qfrc_applied, warmstart, solver_iterations)
+    qpos_new, qvel_new = euler(m, qpos, qvel, fwd)
+    return qpos_new, qvel_new, fwd
