@@ -1,1 +1,5 @@
-"""gym_quadruped_tpu."""
+"""Dataset adapters over the H5 trajectory store."""
+
+from gym_quadruped_tpu.data.proprioceptive_datasets import ProprioceptiveDataset
+
+__all__ = ['ProprioceptiveDataset']

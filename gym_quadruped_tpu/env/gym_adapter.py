@@ -1,0 +1,212 @@
+"""Gymnasium-compatible stateful adapter around the functional QuadrupedEnv.
+
+Drop-in for the reference's `QuadrupedEnv(gym.Env)` surface (quadruped_env.py:71):
+same constructor kwargs, `reset(qpos=..., qvel=..., seed=...)`, `step(action)`
+returning `(obs_dict, reward, terminated, truncated, info)` in numpy, the same
+action/observation spaces, and the kinematic accessor surface (`feet_pos`,
+`feet_jacobians`, `legs_mass_matrix`, ...) backed by the fused Forward results.
+
+Single-env interactive use only — for batched simulation use the functional core
+directly (`jax.vmap(env.step)`), which is the whole point of this framework.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    import gymnasium as gym
+    from gymnasium import spaces
+    _GYM_BASE = gym.Env
+except ImportError:  # pragma: no cover - gymnasium is available in CI
+    gym = None
+    spaces = None
+    _GYM_BASE = object
+
+from gym_quadruped_tpu.env.env import QuadrupedEnv
+from gym_quadruped_tpu.physics import engine
+from gym_quadruped_tpu.physics.constraints import _point_jacobians, constraint_layout
+from gym_quadruped_tpu.physics.forces import feet_contact_forces, feet_contact_state
+from gym_quadruped_tpu.utils.legs import LegsAttr
+
+
+class QuadrupedGymEnv(_GYM_BASE):
+    """Stateful gym.Env facade; all compute stays jitted on-device."""
+
+    metadata = {'render.modes': ['human'], 'version': 0}
+    ALL_OBS = QuadrupedEnv.ALL_OBS
+
+    def __init__(self, **kwargs):
+        self.core = QuadrupedEnv(**kwargs)
+        self._key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        self._state = None
+        self._fwd = None  # Forward of the last step (pre-integration registers)
+
+        self._jit_reset = jax.jit(lambda k: self.core.reset(k))
+        self._jit_reset_to = jax.jit(
+            lambda k, qp, qv: self.core.reset(k, qpos=qp, qvel=qv))
+        self._jit_step = jax.jit(self.core.step)
+        self._jit_forward = jax.jit(
+            lambda qp, qv, ctrl: engine.forward(self.core.model, qp, qv, ctrl))
+
+        if spaces is not None:
+            low, high = self.core.action_space_bounds()
+            self.action_space = spaces.Box(
+                low=low.astype(np.float32), high=high.astype(np.float32),
+                shape=(self.core.model.nu,), dtype=np.float32)
+            dims = self.core.observation_space_dims()
+            self.observation_space = spaces.Dict({
+                name: spaces.Box(-np.inf, np.inf, shape=(dim,), dtype=np.float32)
+                for name, dim in dims.items()})
+
+    # ----------------------------------------------------------------- gym API
+
+    def reset(self, qpos=None, qvel=None, seed=None, random=True,
+              options: dict | None = None):
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        self._key, k = jax.random.split(self._key)
+        if qpos is None and qvel is None and random:
+            self._state, obs = self._jit_reset(k)
+        else:
+            m = self.core.model
+            qp = np.asarray(qpos if qpos is not None else
+                            (m.key_qpos[0] if m.key_qpos.shape[0] else m.qpos0))
+            qv = np.asarray(qvel if qvel is not None else np.zeros(m.nv))
+            self._state, obs = self._jit_reset_to(k, jnp.asarray(qp), jnp.asarray(qv))
+        self._refresh_fwd()
+        return {k_: np.asarray(v) for k_, v in obs.items()}
+
+    def step(self, action):
+        self._state, obs, reward, terminated, truncated, info = \
+            self._jit_step(self._state, jnp.asarray(action))
+        self._fwd = None  # recompute lazily only if an accessor needs it
+        return ({k: np.asarray(v) for k, v in obs.items()}, float(reward),
+                bool(terminated), bool(truncated),
+                {k: np.asarray(v) for k, v in info.items()})
+
+    def render(self, *args, **kwargs):
+        """On-device batched sim has no live viewer; dump trajectories with
+        utils.data.h5 and replay them in the CPU MuJoCo viewer
+        (utils/replay.py) — the reference's own offline pattern."""
+        raise NotImplementedError(
+            'Use gym_quadruped_tpu.utils.replay to visualize recorded trajectories.')
+
+    def close(self):
+        pass
+
+    # -------------------------------------------------------------- accessors
+    # Reference accessor surface (quadruped_env.py:488-1007) as LegsAttr numpy.
+
+    @property
+    def fwd(self):
+        if self._fwd is None:
+            self._refresh_fwd()
+        return self._fwd
+
+    def _refresh_fwd(self):
+        s = self._state
+        self._fwd = self._jit_forward(s.qpos, s.qvel, s.ctrl)
+
+    @property
+    def mj_state(self):
+        return self._state
+
+    @property
+    def base_pos(self):
+        return np.asarray(self._state.qpos[0:3])
+
+    @property
+    def base_ori_quat_wxyz(self):
+        return np.asarray(self._state.qpos[3:7])
+
+    @property
+    def simulation_dt(self):
+        return self.core.model.timestep
+
+    @property
+    def simulation_time(self):
+        return float(self._state.time)
+
+    @property
+    def legs_qvel_idx(self):
+        m = self.core.model
+        return LegsAttr(*[np.asarray(m.legs_qvel_idx[i]) for i in range(4)])
+
+    @property
+    def legs_qpos_idx(self):
+        m = self.core.model
+        return LegsAttr(*[np.asarray(m.legs_qpos_idx[i]) for i in range(4)])
+
+    @property
+    def legs_tau_idx(self):
+        m = self.core.model
+        return LegsAttr(*[np.asarray(m.legs_tau_idx[i]) for i in range(4)])
+
+    def feet_pos(self, frame='world') -> LegsAttr:
+        p = np.asarray(self.fwd.kin.geom_xpos)[np.asarray(self.core.model.feet_geom_id)]
+        if frame == 'base':
+            R, t = self._base_RT()
+            p = (p - t) @ R
+        return LegsAttr(*list(p))
+
+    def feet_jacobians(self, frame='world') -> LegsAttr:
+        m = self.core.model
+        pts = jnp.asarray(np.asarray(self.fwd.kin.geom_xpos)[np.asarray(m.feet_geom_id)])
+        jacp, _ = _point_jacobians(m, self.fwd.kin, self.fwd.cdof, pts, m.feet_body_id)
+        jacp = np.asarray(jacp)
+        if frame == 'base':
+            R, _ = self._base_RT()
+            jacp = np.einsum('ij,fjv->fiv', R.T, jacp)
+        return LegsAttr(*list(jacp))
+
+    def feet_contact_state(self, frame='world', ground_reaction_forces=False):
+        m = self.core.model
+        lay = constraint_layout(m)
+        cs = np.asarray(feet_contact_state(m, lay, self.fwd))
+        state = LegsAttr(*[bool(x) for x in cs])
+        if not ground_reaction_forces:
+            return state, None
+        f = np.asarray(feet_contact_forces(m, lay, self.fwd))
+        if frame == 'base':
+            R, _ = self._base_RT()
+            f = f @ R
+        return state, None, LegsAttr(*list(f))
+
+    @property
+    def legs_mass_matrix(self) -> LegsAttr:
+        m = self.core.model
+        M = np.asarray(self.fwd.M)
+        return LegsAttr(*[M[np.ix_(m.legs_qvel_idx[i], m.legs_qvel_idx[i])]
+                          for i in range(4)])
+
+    @property
+    def legs_qfrc_bias(self) -> LegsAttr:
+        m = self.core.model
+        b = np.asarray(self.fwd.qfrc_bias)
+        return LegsAttr(*[b[m.legs_qvel_idx[i]] for i in range(4)])
+
+    @property
+    def legs_qfrc_passive(self) -> LegsAttr:
+        m = self.core.model
+        b = np.asarray(self.fwd.qfrc_passive)
+        return LegsAttr(*[b[m.legs_qvel_idx[i]] for i in range(4)])
+
+    @property
+    def com(self) -> np.ndarray:
+        m = self.core.model
+        xipos = np.asarray(self.fwd.kin.xipos)
+        mass = np.asarray(m.body_mass)
+        return (mass[:, None] * xipos).sum(0) / mass.sum()
+
+    def get_hyperparameters(self):
+        return self.core.get_hyperparameters()
+
+    def _base_RT(self):
+        from gym_quadruped_tpu.utils.maths import quat_to_mat
+        R = np.asarray(quat_to_mat(self._state.qpos[3:7]))
+        return R, np.asarray(self._state.qpos[0:3])

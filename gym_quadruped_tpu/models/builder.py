@@ -179,6 +179,7 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
     jnt_names = names(mujoco.mjtObj.mjOBJ_JOINT, m.njnt)
     geom_names = names(mujoco.mjtObj.mjOBJ_GEOM, m.ngeom)
     site_names = names(mujoco.mjtObj.mjOBJ_SITE, m.nsite)
+    cam_names = names(mujoco.mjtObj.mjOBJ_CAMERA, m.ncam)
 
     # Per-leg index tables (reference quadruped_env.py:189-204 via extract_mj_joint_info)
     legs_qpos, legs_qvel, legs_tau = [], [], []
@@ -278,6 +279,9 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
         geom_gap=m.geom_gap.copy(),
         site_bodyid=m.site_bodyid.astype(np.int32),
         site_pos=m.site_pos.copy(), site_quat=m.site_quat.copy(),
+        cam_bodyid=m.cam_bodyid.astype(np.int32),
+        cam_pos=m.cam_pos.copy(), cam_quat=m.cam_quat.copy(),
+        cam_fovy=m.cam_fovy.copy(),
         actuator_trnid=m.actuator_trnid[:, 0].astype(np.int32),
         actuator_gear=m.actuator_gear[:, 0].copy(),
         actuator_ctrlrange=m.actuator_ctrlrange.copy(),
@@ -291,7 +295,7 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
         hfield_size=hf_size, hfield_nrow=hf_nrow, hfield_ncol=hf_ncol,
         hfield_data=hf_data,
         body_names=body_names, jnt_names=jnt_names,
-        geom_names=geom_names, site_names=site_names,
+        geom_names=geom_names, site_names=site_names, cam_names=cam_names,
         feet_geom_id=feet_geom_id, feet_body_id=feet_body_id,
         legs_qpos_idx=np.array(legs_qpos, np.int32),
         legs_qvel_idx=np.array(legs_qvel, np.int32),

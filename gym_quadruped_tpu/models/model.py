@@ -117,6 +117,12 @@ class Model:
     site_pos: np.ndarray         # (nsite, 3)
     site_quat: np.ndarray        # (nsite, 4)
 
+    # --- cameras ------------------------------------------------------------------
+    cam_bodyid: np.ndarray       # (ncam,) int
+    cam_pos: np.ndarray          # (ncam, 3)
+    cam_quat: np.ndarray         # (ncam, 4)
+    cam_fovy: np.ndarray         # (ncam,)
+
     # --- actuators ----------------------------------------------------------------
     actuator_trnid: np.ndarray      # (nu,) joint id
     actuator_gear: np.ndarray       # (nu,) gear[0]
@@ -143,6 +149,7 @@ class Model:
     jnt_names: tuple
     geom_names: tuple
     site_names: tuple
+    cam_names: tuple
 
     # --- quadruped conveniences (FL, FR, RL, RR order) ---------------------------
     feet_geom_id: np.ndarray     # (4,) int
@@ -160,7 +167,8 @@ class Model:
     # --------------------------------------------------------------------------
     def name2id(self, kind: str, name: str) -> int:
         table = {'body': self.body_names, 'joint': self.jnt_names,
-                 'geom': self.geom_names, 'site': self.site_names}[kind]
+                 'geom': self.geom_names, 'site': self.site_names,
+                 'camera': self.cam_names}[kind]
         return table.index(name)
 
     @property
@@ -190,6 +198,7 @@ class Model:
             for f in dataclasses.fields(cls):
                 if f.name in z.files and f.name != '__meta__':
                     kwargs[f.name] = z[f.name]
-            for k in ('terrain_limits', 'body_names', 'jnt_names', 'geom_names', 'site_names'):
+            for k in ('terrain_limits', 'body_names', 'jnt_names', 'geom_names',
+                      'site_names', 'cam_names'):
                 kwargs[k] = tuple(kwargs[k])
         return cls(**kwargs)

@@ -56,7 +56,9 @@ class ConstraintLayout:
     con_solimp: np.ndarray     # (S, 5)
     con_margin: np.ndarray     # (S,)
     con_body: np.ndarray       # (S,) robot body of geom2
+    con_geom1: np.ndarray      # (S,) world geom id
     con_geom2: np.ndarray      # (S,) robot geom id (for per-foot force extraction)
+    con_prio: np.ndarray       # (S,) -1 geom1 wins, +1 geom2 wins, 0 equal (max rule)
     # derived
     n_simple: int              # total simple rows
     simple_unilateral: np.ndarray  # (n_simple,) bool (False → huber/fl row)
@@ -77,8 +79,12 @@ def _layout_cached(key) -> ConstraintLayout:
     elliptic = int(m.cone) == CONE_ELLIPTIC
 
     specs = contact_layout(m)
-    condims, mus, solrefs, solimps, margins, bodies, geom2s = [], [], [], [], [], [], []
+    condims, mus, solrefs, solimps, margins = [], [], [], [], []
+    bodies, geom1s, geom2s, prios = [], [], [], []
     for spec in specs:
+        p1 = int(m.geom_priority[spec.geom1])
+        p2 = int(m.geom_priority[spec.geom2])
+        prio = 0 if p1 == p2 else (-1 if p1 > p2 else 1)
         for _ in range(spec.ncon):
             condims.append(spec.condim)
             mus.append(spec.friction)
@@ -86,7 +92,9 @@ def _layout_cached(key) -> ConstraintLayout:
             solimps.append(spec.solimp)
             margins.append(spec.margin)
             bodies.append(int(m.geom_bodyid[spec.geom2]))
+            geom1s.append(spec.geom1)
             geom2s.append(spec.geom2)
+            prios.append(prio)
     condims = np.array(condims, np.int32)
     S = len(condims)
     is_cone = np.array([elliptic and cd > 1 for cd in condims], bool)
@@ -113,7 +121,9 @@ def _layout_cached(key) -> ConstraintLayout:
         con_solimp=np.array(solimps, np.float64).reshape(S, 5),
         con_margin=np.array(margins, np.float64).reshape(S),
         con_body=np.array(bodies, np.int32),
+        con_geom1=np.array(geom1s, np.int32),
         con_geom2=np.array(geom2s, np.int32),
+        con_prio=np.array(prios, np.int32),
         n_simple=n_simple,
         simple_unilateral=unilateral,
         con_is_cone=is_cone, cone_slots=cone_slots,
@@ -172,7 +182,7 @@ class Efc:
     con_aref: Any     # (C, 6)
     con_R: Any        # (C, 6)
     con_active: Any   # (C,) bool
-    # per-slot contact frame force for ALL slots (filled post-solve)
+    cone_mu: Any      # (C, 5) friction of the cone slots (traced: may be randomized)
 
 
 def _point_jacobians(m: Model, kin: Kin, cdof: jnp.ndarray, pos: jnp.ndarray,
@@ -190,11 +200,32 @@ def _point_jacobians(m: Model, kin: Kin, cdof: jnp.ndarray, pos: jnp.ndarray,
     return jacp, jacr
 
 
+def runtime_con_mu(m: Model, geom_friction) -> jnp.ndarray:
+    """Per-slot friction (S, 5) from a traced (ngeom, 3) geom_friction table.
+
+    Applies MuJoCo's combination rule (priority winner, else elementwise max) with
+    the static priority relation captured in the layout, so per-env friction
+    randomization (reference _set_ground_friction, quadruped_env.py:1277-1298) stays
+    a pure-array op under vmap.
+    """
+    lay = constraint_layout(m)
+    f1 = geom_friction[lay.con_geom1]  # (S, 3)
+    f2 = geom_friction[lay.con_geom2]
+    prio = jnp.asarray(lay.con_prio)[:, None]
+    fri3 = jnp.where(prio < 0, f1, jnp.where(prio > 0, f2, jnp.maximum(f1, f2)))
+    return jnp.stack([fri3[:, 0], fri3[:, 0], fri3[:, 1],
+                      fri3[:, 2], fri3[:, 2]], axis=1)
+
+
 def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
-             contacts: Contacts, cdof: jnp.ndarray) -> Efc:
+             contacts: Contacts, cdof: jnp.ndarray, con_mu=None) -> Efc:
     dtype = qpos.dtype
     lay = constraint_layout(m)
     nv = m.nv
+    if con_mu is None:
+        con_mu = jnp.asarray(lay.con_mu, dtype)
+    else:
+        con_mu = jnp.asarray(con_mu, dtype)
     J_rows, aref_rows, R_rows, act_rows, fl_rows = [], [], [], [], []
 
     # ---- 1. dof friction loss ------------------------------------------------------
@@ -276,7 +307,7 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
             else:
                 fri_inv = [inv_t[s], inv_t[s], inv_r[s], inv_r[s], inv_r[s]]
                 for i in range(cd - 1):
-                    mu_i = float(lay.con_mu[s, i])
+                    mu_i = con_mu[s, i]
                     diag = 2.0 * (inv_t[s] + mu_i * mu_i * fri_inv[i])
                     for sgn in (1.0, -1.0):
                         Jr = dirs[s, 0] + sgn * mu_i * dirs[s, 1 + i]
@@ -291,7 +322,7 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
         if C:
             cs = lay.cone_slots
             dim_mask = jnp.asarray(lay.cone_dim_mask, dtype)  # (C, 6)
-            mu = jnp.asarray(lay.con_mu[cs], dtype)           # (C, 5)
+            mu = con_mu[cs]                                   # (C, 5)
             mu0 = mu[:, 0]
             con_J = dirs[cs] * dim_mask[:, :, None]
             aref_f = -B[cs, None] * vel6[cs, 1:]  # friction rows: no K term
@@ -302,16 +333,19 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
             con_R = jnp.concatenate([(rimp[cs] * inv_t[cs])[:, None], R_fric], axis=1)
             con_R = jnp.where(dim_mask > 0, con_R, 1.0)
             con_active = include[cs]
+            cone_mu = mu
         else:
             con_J = jnp.zeros((0, 6, nv), dtype)
             con_aref = jnp.zeros((0, 6), dtype)
             con_R = jnp.ones((0, 6), dtype)
             con_active = jnp.zeros((0,), bool)
+            cone_mu = jnp.zeros((0, 5), dtype)
     else:
         con_J = jnp.zeros((0, 6, nv), dtype)
         con_aref = jnp.zeros((0, 6), dtype)
         con_R = jnp.ones((0, 6), dtype)
         con_active = jnp.zeros((0,), bool)
+        cone_mu = jnp.zeros((0, 5), dtype)
 
     if J_rows:
         J = jnp.concatenate(J_rows)
@@ -325,4 +359,5 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
         active = jnp.zeros((0,), bool)
     assert J.shape[0] == lay.n_simple, (J.shape, lay.n_simple)
     return Efc(J=J, aref=aref, R=R, active=active, frictionloss=fl,
-               con_J=con_J, con_aref=con_aref, con_R=con_R, con_active=con_active)
+               con_J=con_J, con_aref=con_aref, con_R=con_R, con_active=con_active,
+               cone_mu=cone_mu)

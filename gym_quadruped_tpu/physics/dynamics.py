@@ -189,6 +189,46 @@ def rne_bias(m: Model, kin: Kin, qvel: jnp.ndarray,
     return jnp.einsum('vj,vj->v', cdof, f[m.dof_bodyid])
 
 
+def body_accelerations(m: Model, kin: Kin, qvel: jnp.ndarray, qacc: jnp.ndarray,
+                       cdof: jnp.ndarray | None = None,
+                       gravity_offset: bool = True) -> jnp.ndarray:
+    """(nbody, 6) spatial acceleration (α; a_origin) of each body, world-origin
+    coords (mj_rnePostConstraint's cacc). With gravity_offset the chain starts from
+    −g, matching MuJoCo's accelerometer convention (reads +9.81 z at rest)."""
+    from gym_quadruped_tpu.models.model import BALL, FREE
+
+    dtype = qvel.dtype
+    if cdof is None:
+        cdof = _cdof(m, kin)
+    gravity = jnp.asarray(m.gravity, dtype)
+    a0 = jnp.concatenate([jnp.zeros(3, dtype),
+                          -gravity if gravity_offset else jnp.zeros(3, dtype)])
+    vel = [jnp.zeros(6, dtype)]
+    acc = [a0]
+    for b in range(1, m.nbody):
+        p = int(m.body_parentid[b])
+        v, a = vel[p], acc[p]
+        for j in range(int(m.body_jntadr[b]),
+                       int(m.body_jntadr[b]) + int(m.body_jntnum[b])):
+            jtype = int(m.jnt_type[j])
+            adr = int(m.jnt_dofadr[j])
+            if jtype == FREE:
+                vj_trans = qvel[adr:adr + 3] @ cdof[adr:adr + 3]
+                vj_rot = qvel[adr + 3:adr + 6] @ cdof[adr + 3:adr + 6]
+                v = v + vj_trans + vj_rot
+                a = (a + qacc[adr:adr + 6] @ cdof[adr:adr + 6]
+                     + _cross_motion(v, vj_rot))
+            else:
+                ndof = 3 if jtype == BALL else 1
+                vj = qvel[adr:adr + ndof] @ cdof[adr:adr + ndof]
+                v = v + vj
+                a = a + qacc[adr:adr + ndof] @ cdof[adr:adr + ndof] + \
+                    _cross_motion(v, vj)
+        vel.append(v)
+        acc.append(a)
+    return jnp.stack(acc)
+
+
 # ---------------------------------------------------------------------------------
 # passive + actuation
 # ---------------------------------------------------------------------------------

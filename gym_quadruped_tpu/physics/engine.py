@@ -49,7 +49,7 @@ class Forward:
 
 
 def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
-            warmstart=None, solver_iterations: int = 10) -> Forward:
+            warmstart=None, solver_iterations: int = 10, con_mu=None) -> Forward:
     dtype = qpos.dtype
     if qfrc_applied is None:
         qfrc_applied = jnp.zeros(m.nv, dtype)
@@ -66,7 +66,7 @@ def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
     qacc_smooth = jax.scipy.linalg.cho_solve(L, qfrc_smooth)
 
     contacts = collide(m, kin)
-    efc = make_efc(m, kin, qpos, qvel, contacts, cdof)
+    efc = make_efc(m, kin, qpos, qvel, contacts, cdof, con_mu=con_mu)
     lay = constraint_layout(m)
     qacc, f_simple, f_cone, qfrc_constraint = solve(
         m, lay, M, qacc_smooth, efc,
@@ -122,8 +122,9 @@ def euler(m: Model, qpos, qvel, fwd: Forward):
 
 
 def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
-         solver_iterations: int = 10):
+         solver_iterations: int = 10, con_mu=None):
     """mj_step equivalent: returns (qpos', qvel', Forward-at-old-state)."""
-    fwd = forward(m, qpos, qvel, ctrl, qfrc_applied, warmstart, solver_iterations)
+    fwd = forward(m, qpos, qvel, ctrl, qfrc_applied, warmstart, solver_iterations,
+                  con_mu=con_mu)
     qpos_new, qvel_new = euler(m, qpos, qvel, fwd)
     return qpos_new, qvel_new, fwd

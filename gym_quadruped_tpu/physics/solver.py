@@ -113,7 +113,7 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
     fl = efc.frictionloss
     if C:
         dim_mask = jnp.asarray(lay.cone_dim_mask, dtype)
-        mu = jnp.asarray(lay.con_mu[lay.cone_slots], dtype)
+        mu = efc.cone_mu
         D_c = jnp.where(efc.con_active[:, None], 1.0 / efc.con_R, 0.0) * dim_mask
     else:
         dim_mask = jnp.zeros((0, 6), dtype)

@@ -4,6 +4,7 @@ import os
 os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 import sys

@@ -21,4 +21,9 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+# Persistent compilation cache: the physics program is large and XLA-CPU compiles
+# are slow in x64; caching makes repeated test runs fast.
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
 assert jax.devices()[0].platform == 'cpu', 'tests must run on the CPU backend'
