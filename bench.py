@@ -43,6 +43,9 @@ def measure_mujoco_cpu(robot: str, scene: str, n_steps: int = 2000) -> float:
 def measure_tpu(robot: str, scene: str, batch: int, n_steps: int) -> float:
     """Batched engine steps/s on the default JAX backend (TPU under the driver)."""
     import jax
+
+    # true-f32 matmul accumulation: the TPU bf16 MXU default breaks the solver
+    jax.config.update('jax_default_matmul_precision', 'highest')
     import jax.numpy as jnp
 
     from gym_quadruped_tpu.models.builder import load_model
@@ -68,12 +71,20 @@ def measure_tpu(robot: str, scene: str, batch: int, n_steps: int) -> float:
 
     out = run(qpos, qvel, ctrl_seq)  # compile + warmup
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(qpos, qvel, ctrl_seq)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(out[0])).all(), 'non-finite states in bench'
-    return batch * n_steps / dt
+    # time several DISTINCT executions (identical calls can be memoized by the
+    # runtime); chain the state so no run is skippable, take the median
+    times = []
+    qp, qv = qpos, qvel
+    for r in range(3):
+        ctrl_r = jax.random.uniform(jax.random.PRNGKey(r + 1),
+                                    (n_steps, batch, model.nu), dtype, -2, 2)
+        jax.block_until_ready(ctrl_r)
+        t0 = time.perf_counter()
+        qp, qv = run(qp, qv, ctrl_r)
+        jax.block_until_ready((qp, qv))
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(np.asarray(qp)).all(), 'non-finite states in bench'
+    return batch * n_steps / float(np.median(times))
 
 
 def main():

@@ -188,11 +188,14 @@ class Efc:
 def _point_jacobians(m: Model, kin: Kin, cdof: jnp.ndarray, pos: jnp.ndarray,
                      body_ids: np.ndarray):
     """Translational/rotational jacobians (k, 3, nv) for k points on bodies."""
+    from gym_quadruped_tpu.physics.kinematics import spatial_origin
+
     omega = cdof[:, :3]
     v0 = cdof[:, 3:]
+    rel = pos - spatial_origin(kin)[None, :]
     vp = v0[None] + jnp.cross(
-        jnp.broadcast_to(omega[None], (pos.shape[0],) + omega.shape),
-        pos[:, None, :])  # (k, nv, 3)
+        jnp.broadcast_to(omega[None], (rel.shape[0],) + omega.shape),
+        rel[:, None, :])  # (k, nv, 3)
     masks = np.stack([ancestor_dof_mask(m, int(b)) for b in body_ids])
     masks_j = jnp.asarray(masks, pos.dtype)[..., None]
     jacp = jnp.swapaxes(vp * masks_j, 1, 2)

@@ -56,14 +56,16 @@ def dof_ancestor_mask(m: Model) -> np.ndarray:
 # ---------------------------------------------------------------------------------
 
 def spatial_inertia(m: Model, kin: Kin) -> jnp.ndarray:
-    """(nbody, 6, 6) spatial inertia of each body about the world origin."""
+    """(nbody, 6, 6) spatial inertia of each body about spatial_origin(kin)."""
+    from gym_quadruped_tpu.physics.kinematics import spatial_origin
+
     dtype = kin.xpos.dtype
     mass = jnp.asarray(m.body_mass, dtype)
     diag_inertia = jnp.asarray(m.body_inertia, dtype)
     R = kin.ximat  # (nbody, 3, 3)
     # rotational inertia about CoM in world axes
     I_c = jnp.einsum('bij,bj,bkj->bik', R, diag_inertia, R)
-    c = kin.xipos
+    c = kin.xipos - spatial_origin(kin)[None, :]
     Sc = skew(c)
     eye = jnp.eye(3, dtype=dtype)
     A = I_c + mass[:, None, None] * (

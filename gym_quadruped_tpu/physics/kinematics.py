@@ -138,16 +138,25 @@ def fk(m: Model, qpos: jnp.ndarray) -> Kin:
                subtree_com=subtree_com)
 
 
-def cdof(m: Model, kin: Kin, dtype=None) -> jnp.ndarray:
-    """Per-dof 6D motion subspace vectors (ω; v) about the *world origin*.
+def spatial_origin(kin: Kin) -> jnp.ndarray:
+    """Reference point for all (ω; v) spatial vectors: the whole-robot CoM.
 
-    MuJoCo's cdof is expressed about each body's subtree CoM; choosing the world
-    origin instead yields the same mass matrix / bias forces (frame-invariant) with
-    simpler bookkeeping. Free-joint angular dofs are the body-frame axes (MuJoCo
-    stores free-joint angular velocity in the child frame — quadruped_env.py:523-531
-    relies on this).
+    Using a fixed world origin is frame-invariant in exact arithmetic but melts
+    down in f32 when the robot is far from the origin (mass-matrix entries grow
+    like |p|² and the local inertia lives in their cancellations) — MuJoCo centers
+    its c-frame at the subtree CoM for exactly this reason. World bodies are
+    massless, so subtree_com[0] is the robot CoM."""
+    return kin.subtree_com[0]
+
+
+def cdof(m: Model, kin: Kin, dtype=None) -> jnp.ndarray:
+    """Per-dof 6D motion subspace vectors (ω; v) about spatial_origin(kin).
+
+    Free-joint angular dofs are the body-frame axes (MuJoCo stores free-joint
+    angular velocity in the child frame — quadruped_env.py:523-531 relies on it).
     """
     dtype = dtype or kin.xpos.dtype
+    c = spatial_origin(kin)
     rows = []
     for j in range(m.njnt):
         jtype = int(m.jnt_type[j])
@@ -158,13 +167,13 @@ def cdof(m: Model, kin: Kin, dtype=None) -> jnp.ndarray:
                 e = jnp.zeros(3, dtype).at[k].set(1.0)
                 rows.append(jnp.concatenate([zero, e]))
             R = quat_to_mat(kin.xquat[b])
-            p = kin.xpos[b]
+            p = kin.xpos[b] - c
             for k in range(3):
                 axis = R[:, k]
                 rows.append(jnp.concatenate([axis, jnp.cross(p, axis)]))
         elif jtype == BALL:
             R = quat_to_mat(kin.xquat[b])
-            p = kin.xanchor[j]
+            p = kin.xanchor[j] - c
             for k in range(3):
                 axis = R[:, k]
                 rows.append(jnp.concatenate([axis, jnp.cross(p, axis)]))
@@ -172,7 +181,8 @@ def cdof(m: Model, kin: Kin, dtype=None) -> jnp.ndarray:
             rows.append(jnp.concatenate([jnp.zeros(3, dtype), kin.xaxis[j]]))
         else:  # HINGE
             axis = kin.xaxis[j]
-            rows.append(jnp.concatenate([axis, jnp.cross(kin.xanchor[j], axis)]))
+            rows.append(jnp.concatenate(
+                [axis, jnp.cross(kin.xanchor[j] - c, axis)]))
     return jnp.stack(rows)  # (nv, 6)
 
 
@@ -184,10 +194,11 @@ def point_jacobian(m: Model, kin: Kin, cdof_: jnp.ndarray, point: jnp.ndarray,
     velocity at `point` induced by unit dof-i velocity, zero for dofs outside the
     ancestor chain.
     """
-    # velocity at point from 6D screw about origin: v(p) = v_o + ω × p
+    # velocity at point from the 6D screw about c: v(p) = v_c + ω × (p − c)
+    c = spatial_origin(kin)
     omega = cdof_[:, :3]
     v0 = cdof_[:, 3:]
-    vp = v0 + jnp.cross(omega, point[None, :])
+    vp = v0 + jnp.cross(omega, (point - c)[None, :])
     mask = jnp.asarray(ancestor_dof_mask(m, body_id), vp.dtype)
     return (vp * mask[:, None]).T
 

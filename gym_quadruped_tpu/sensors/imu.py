@@ -81,8 +81,10 @@ class IMU(Sensor):
         k1, k2, k3, k4, k_next = jax.random.split(ss.rng, 5)
 
         # ground truth at the site (pre-step state, matching sensordata)
+        from gym_quadruped_tpu.physics.kinematics import spatial_origin
+
         R_site = fwd.kin.site_xmat[self.site_id]      # (3, 3)
-        p_site = fwd.kin.site_xpos[self.site_id]
+        p_site = fwd.kin.site_xpos[self.site_id] - spatial_origin(fwd.kin)
         V = dynamics.body_velocities(m, fwd.kin, qvel, fwd.cdof)[self.body_id]
         A = dynamics.body_accelerations(m, fwd.kin, qvel, fwd.qacc,
                                         fwd.cdof)[self.body_id]
