@@ -78,11 +78,14 @@ def measure_tpu(robot: str, scene: str, batch: int, n_steps: int) -> float:
     for r in range(3):
         ctrl_r = jax.random.uniform(jax.random.PRNGKey(r + 1),
                                     (n_steps, batch, model.nu), dtype, -2, 2)
-        jax.block_until_ready(ctrl_r)
+        _ = float(jnp.sum(ctrl_r))  # materialize inputs before the clock starts
         t0 = time.perf_counter()
         qp, qv = run(qp, qv, ctrl_r)
-        jax.block_until_ready((qp, qv))
+        # host readback of a reduction: forces true completion even on runtimes
+        # where block_until_ready resolves early (remote-backend tunnels)
+        checksum = float(jnp.sum(qp))
         times.append(time.perf_counter() - t0)
+        assert np.isfinite(checksum), 'non-finite states in bench'
     assert np.isfinite(np.asarray(qp)).all(), 'non-finite states in bench'
     return batch * n_steps / float(np.median(times))
 

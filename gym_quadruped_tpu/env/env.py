@@ -346,6 +346,10 @@ class QuadrupedEnv:
         if self.external_disturbances_kwargs is not None:
             qfrc_applied = jnp.zeros(m.nv, dtype).at[:6].set(state.external_wrench)
 
+        # NOTE: no warm starting — measured on the 200-step oracle trajectories,
+        # a warm start does not buy iteration reductions here (Newton from
+        # qacc_smooth converges at least as fast), so cold start keeps the
+        # batch-uniform iteration count honest.
         con_mu = runtime_con_mu(m, state.geom_friction)
         qp, qv, fwd = engine.step(m, state.qpos, state.qvel, ctrl,
                                   qfrc_applied=qfrc_applied,

@@ -7,3 +7,6 @@ from gym_quadruped_tpu.mpc.qp import MPCWeights
 
 __all__ = ['CentroidalMPC', 'MPCConfig', 'CentroidalParams', 'GaitConfig',
            'MPCWeights']
+from gym_quadruped_tpu.mpc.mppi import MPPI, MPPIConfig, velocity_tracking_cost
+
+__all__ += ['MPPI', 'MPPIConfig', 'velocity_tracking_cost']

@@ -152,17 +152,24 @@ def _plane_capsule(ppos, pmat, cpos, cmat, radius, halflen):
 
 
 def _plane_box(ppos, pmat, bpos, bmat, size):
-    """4 deepest corners of the box vs the plane (MuJoCo keeps ≤4 corner contacts)."""
+    """4 deepest corners of the box vs the plane (MuJoCo keeps ≤4 corner contacts).
+
+    Analytic selection instead of an argsort (sorts are slow on the TPU VPU):
+    with per-axis depth contributions dᵢ = (Rᵀn)ᵢ·sizeᵢ, the deepest corner takes
+    every sign opposing dᵢ, and the next three flip exactly one axis — the flip
+    costs 2|dᵢ|, so ordering the singles by |dᵢ| is unnecessary (all four are
+    emitted as contact slots anyway)."""
     n = pmat[:, 2]
-    signs = jnp.asarray(np.array(
-        [[1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1],
-         [-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1]], np.float64), size.dtype)
-    corners = bpos[None, :] + (signs * size[None, :]) @ bmat.T  # (8, 3)
-    d = corners @ n - jnp.dot(n, ppos)  # (8,)
-    # pick 4 smallest distances (static top-k)
-    idx = jnp.argsort(d)[:4]
-    d4 = d[idx]
-    pos = corners[idx] - 0.5 * d4[:, None] * n[None, :]
+    d_axis = bmat.T @ n * size          # (3,) per-axis contribution
+    base = -jnp.abs(d_axis)             # deepest corner contributions
+    center_d = jnp.dot(n, bpos - ppos)
+    d0 = center_d + base.sum()
+    d4 = jnp.stack([d0, d0 - 2 * base[0], d0 - 2 * base[1], d0 - 2 * base[2]])
+    sgn = -jnp.sign(jnp.where(d_axis == 0, 1.0, d_axis))  # signs of deepest corner
+    corner0 = bpos + bmat @ (sgn * size)
+    flips = corner0[None, :] - 2 * (bmat * (sgn * size)[None, :]).T  # (3, 3)
+    corners = jnp.concatenate([corner0[None, :], flips], axis=0)     # (4, 3)
+    pos = corners - 0.5 * d4[:, None] * n[None, :]
     return d4, pos, jnp.broadcast_to(n, (4, 3))
 
 

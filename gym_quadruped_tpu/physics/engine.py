@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gym_quadruped_tpu.models.model import FREE, BALL, Model
+from gym_quadruped_tpu.ops.spd_solve import spd_solve
 from gym_quadruped_tpu.physics import dynamics
 from gym_quadruped_tpu.physics.collision import Contacts, collide
 from gym_quadruped_tpu.physics.constraints import Efc, constraint_layout, make_efc
@@ -62,8 +63,7 @@ def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
     act = dynamics.actuator_force(m, ctrl)
     qfrc_smooth = passive + act + qfrc_applied - bias
 
-    L = jax.scipy.linalg.cho_factor(M, lower=True)
-    qacc_smooth = jax.scipy.linalg.cho_solve(L, qfrc_smooth)
+    qacc_smooth = spd_solve(M, qfrc_smooth)
 
     contacts = collide(m, kin)
     efc = make_efc(m, kin, qpos, qvel, contacts, cdof, con_mu=con_mu)
@@ -112,8 +112,7 @@ def euler(m: Model, qpos, qvel, fwd: Forward):
     damping = np.asarray(m.dof_damping)
     if np.any(damping > 0):
         MhB = fwd.M + h * jnp.diag(jnp.asarray(damping, dtype))
-        L = jax.scipy.linalg.cho_factor(MhB, lower=True)
-        qacc_int = jax.scipy.linalg.cho_solve(L, qfrc)
+        qacc_int = spd_solve(MhB, qfrc)
     else:
         qacc_int = fwd.qacc
     qvel_new = qvel + h * qacc_int

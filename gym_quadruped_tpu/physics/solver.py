@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gym_quadruped_tpu.models.model import Model
+from gym_quadruped_tpu.ops.spd_solve import spd_solve
 from gym_quadruped_tpu.physics.constraints import ConstraintLayout, Efc
 
 
@@ -98,7 +99,7 @@ def cone_hessian(u, D, mu, dim_mask):
 # ---------------------------------------------------------------------------------
 
 def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
-          warmstart=None, iterations: int = 10, ls_iterations: int = 30):
+          warmstart=None, iterations: int = 10, ls_iterations: int = 6):
     """Returns (qacc, f_simple, f_cone, qfrc_constraint)."""
     dtype = a_smooth.dtype
     nv = a_smooth.shape[0]
@@ -142,8 +143,7 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
             Cb = cone_hessian(uc, D_c, mu, dim_mask)
             H = H + jnp.einsum('cdv,cde,cew->vw', efc.con_J, Cb, efc.con_J)
         H = H + 1e-10 * jnp.trace(M) / nv * jnp.eye(nv, dtype=dtype)
-        L = jax.scipy.linalg.cho_factor(H, lower=True)
-        p = -jax.scipy.linalg.cho_solve(L, g)
+        p = -spd_solve(H, g)
 
         # 1-D guarded linesearch on the convex derivative φ'(t):
         # precompute projections once; evals are elementwise.
@@ -161,15 +161,15 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
                 val = val - jnp.sum(fc_t * duc)
             return val
 
-        one = jnp.asarray(1.0, dtype)
-
-        def widen(_, carry):
-            t_hi, val = carry
-            grow = val < 0
-            t_new = jnp.where(grow, t_hi * 2.0, t_hi)
-            return t_new, jnp.where(grow, dphi(t_new), val)
-
-        t_hi, _ = jax.lax.fori_loop(0, 8, widen, (one, dphi(one)))
+        # 1-D root bracket of the convex derivative φ'(t): ONE vectorized grid
+        # evaluation (the grid axis rides the TPU lanes) instead of a long chain
+        # of sequential widen/bisect kernels, then a few polish bisections.
+        grid = jnp.asarray(np.geomspace(1e-3, 64.0, 14), dtype)
+        vals = jax.vmap(dphi)(grid)
+        neg = vals < 0
+        # largest grid t with φ' < 0 (0 if none), smallest with φ' ≥ 0 (64 if none)
+        lo = jnp.max(jnp.where(neg, grid, jnp.zeros_like(grid)))
+        hi = jnp.min(jnp.where(neg, jnp.full_like(grid, grid[-1]), grid))
 
         def bisect(_, bounds):
             lo, hi = bounds
@@ -177,8 +177,7 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
             v = dphi(mid)
             return jnp.where(v < 0, mid, lo), jnp.where(v < 0, hi, mid)
 
-        lo, hi = jax.lax.fori_loop(0, ls_iterations, bisect,
-                                   (jnp.zeros((), dtype), t_hi))
+        lo, hi = jax.lax.fori_loop(0, ls_iterations, bisect, (lo, hi))
         t = 0.5 * (lo + hi)
         # descent is guaranteed along a Newton direction of a convex function;
         # guard against a zero direction (already converged)

@@ -1,0 +1,96 @@
+"""Morphological-symmetry group representations for observables.
+
+API-parity port of the reference's optional `morpho_symm` integration
+(utils/quadruped_utils.py:328-427): maps each observable name to the group
+representation acting on it (vectors, pseudo-vectors, joint-space reps, leg
+permutations, Kronecker SO(3)-flat), for equivariant learning / data
+augmentation. `morpho_symm`/`escnn` are optional extras exactly as upstream —
+the import error is raised lazily, so the core framework never depends on them.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+
+def configure_observation_space_representations(
+        robot_name: str, obs_names: Sequence[str], **load_symm_kwargs) -> dict:
+    """{obs_name: escnn Representation} for each requested observable."""
+    try:
+        from morpho_symm.utils.rep_theory_utils import (
+            escnn_representation_form_mapping,
+        )
+        from morpho_symm.utils.robot_utils import load_symmetric_system
+    except ImportError as e:
+        raise ImportError('morpho_symm package is required to configure '
+                          'observation group representations') from e
+
+    G = load_symmetric_system(robot_name=robot_name, return_robot=False,
+                              **load_symm_kwargs)
+    try:
+        rep_Q_js = G.representations['Q_js']
+        rep_TqQ_js = G.representations['TqQ_js']
+        rep_Rd = G.representations['R3']
+        rep_Rd_pseudo = G.representations['R3_pseudo']
+        rep_euler_xyz = G.representations['R3_pseudo']
+        rep_kin_three = G.representations['kin_chain']  # leg permutations
+        rep_Rd_on_limbs = rep_kin_three.tensor(rep_Rd)
+        rep_Rd_on_limbs.name = 'Rd_on_limbs'
+        rep_Rd_pseudo_on_limbs = rep_kin_three.tensor(rep_Rd_pseudo)
+        rep_Rd_pseudo_on_limbs.name = 'Rd_pseudo_on_limbs'
+        # flattened SO(3): R ↦ rep(g) R rep(g)⁻¹ as a Kronecker product
+        rep_SO3_flat = escnn_representation_form_mapping(
+            G, {h: np.kron(rep_Rd(h), rep_Rd(~h).T) for h in G.elements})
+        rep_SO3_flat.name = 'SO3_flat'
+        rep_z = escnn_representation_form_mapping(
+            G, {g: rep_Rd(g)[2:3, 2:3] for g in G.elements}, name='base_z')
+    except KeyError as e:
+        raise KeyError(
+            f'Group rep for {e.args[0]} missing from robot {robot_name} '
+            f'configuration. Available: {list(G.representations.keys())}') from e
+
+    obs_reps = dict.fromkeys(obs_names)
+    for name in obs_names:
+        base = name.split(':')[0]
+        if name in ('qpos', 'base_ori_quat_wxyz'):
+            continue  # quaternions lack a left-group action
+        elif name == 'qvel':
+            obs_reps[name] = rep_Rd + rep_Rd_pseudo + rep_TqQ_js
+        elif name in ('tau_ctrl_setpoint', 'action'):
+            obs_reps[name] = rep_TqQ_js
+        elif name == 'qpos_js':
+            obs_reps[name] = rep_Q_js
+        elif name == 'qvel_js':
+            obs_reps[name] = rep_TqQ_js
+        elif name == 'base_pos':
+            obs_reps[name] = rep_Rd
+        elif name == 'base_pos_z':
+            obs_reps[name] = rep_z
+        elif base in ('base_lin_vel', 'base_lin_vel_err', 'base_lin_acc'):
+            obs_reps[name] = rep_Rd
+        elif base in ('base_ang_vel', 'base_ang_vel_err'):
+            obs_reps[name] = rep_Rd_pseudo
+        elif base == 'base_ori_euler_xyz':
+            obs_reps[name] = rep_euler_xyz
+        elif name == 'base_ori_SO3':
+            obs_reps[name] = rep_SO3_flat
+        elif base.startswith('feet_pos') or base.startswith('feet_vel'):
+            obs_reps[name] = rep_Rd_on_limbs
+        elif name == 'contact_state':
+            obs_reps[name] = rep_kin_three
+        elif base == 'contact_forces':
+            obs_reps[name] = rep_Rd_on_limbs
+        elif base == 'gravity_vector' or base == 'imu_acc':
+            obs_reps[name] = rep_Rd
+        elif base == 'imu_gyro':
+            obs_reps[name] = rep_Rd_pseudo
+        elif name in ('work', 'kinetic_energy', 'reward'):
+            obs_reps[name] = G.trivial_representation
+        else:
+            from gym_quadruped_tpu.env.observables import ALL_OBS
+
+            raise ValueError(f'Invalid observation name: {name}, '
+                             f'available: {ALL_OBS}')
+    return obs_reps
