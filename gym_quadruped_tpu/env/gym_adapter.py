@@ -89,15 +89,63 @@ class QuadrupedGymEnv(_GYM_BASE):
                 bool(terminated), bool(truncated),
                 {k: np.asarray(v) for k, v in info.items()})
 
-    def render(self, *args, **kwargs):
-        """On-device batched sim has no live viewer; dump trajectories with
-        utils.data.h5 and replay them in the CPU MuJoCo viewer
-        (utils/replay.py) — the reference's own offline pattern."""
-        raise NotImplementedError(
-            'Use gym_quadruped_tpu.utils.replay to visualize recorded trajectories.')
+    def render(self, mode='human', tint_robot=False, ghost_qpos=None,
+               ghost_alpha=0.5):
+        """Live interactive viewer (reference render(), quadruped_env.py:408):
+        mirrors the on-device state into a CPU-MuJoCo passive viewer, draws the
+        commanded/actual velocity arrows and optional ghost robots. The physics
+        stays on-device — the viewer's MjData is display-only."""
+        import mujoco
+        import mujoco.viewer as mj_viewer
+
+        from gym_quadruped_tpu.models.builder import build_mj_model
+        from gym_quadruped_tpu.utils.mujoco_visual import (
+            change_robot_appearance,
+            render_ghost_robot,
+            render_vector,
+        )
+
+        if not hasattr(self, '_vis'):
+            mj, _ = build_mj_model(self.core.robot_name, self.core.scene_name,
+                                   self.core.model.timestep)
+            if tint_robot:
+                change_robot_appearance(mj, alpha=1.0)
+            d = mujoco.MjData(mj)
+            ghost_d = mujoco.MjData(mj)
+            handle = mj_viewer.launch_passive(mj, d)
+            self._vis = {'mj': mj, 'd': d, 'ghost_d': ghost_d,
+                         'viewer': handle, 'arrow_ids': [-1, -1],
+                         'ghost_geoms': {}}
+
+        v = self._vis
+        v['d'].qpos[:] = np.asarray(self._state.qpos)
+        v['d'].qvel[:] = np.asarray(self._state.qvel)
+        mujoco.mj_forward(v['mj'], v['d'])
+
+        base_pos = np.asarray(self._state.qpos[0:3])
+        vel = np.asarray(self._state.qvel[0:3])
+        speed = float(np.linalg.norm(vel) + 1e-9)
+        v['arrow_ids'][0] = render_vector(
+            v['viewer'], vel / speed, base_pos + [0, 0, 0.15], 0.3 * speed,
+            color=[0.2, 0.7, 0.2, 1.0], geom_id=v['arrow_ids'][0])
+        ref_lin = np.asarray(self._state.ref_base_lin_vel_H)
+        ref_speed = float(np.linalg.norm(ref_lin) + 1e-9)
+        v['arrow_ids'][1] = render_vector(
+            v['viewer'], ref_lin / ref_speed, base_pos + [0, 0, 0.2],
+            0.3 * ref_speed, color=[0.2, 0.2, 0.9, 1.0],
+            geom_id=v['arrow_ids'][1])
+
+        if ghost_qpos is not None:
+            for q in np.atleast_2d(np.asarray(ghost_qpos)):
+                v['ghost_geoms'] = render_ghost_robot(
+                    v['viewer'], v['mj'], v['ghost_d'], q, alpha=ghost_alpha,
+                    ghost_geoms=v['ghost_geoms'])
+        v['viewer'].sync()
 
     def close(self):
-        pass
+        if hasattr(self, '_vis'):
+            self._vis['viewer'].close()
+            del self._vis
 
     # -------------------------------------------------------------- accessors
     # Reference accessor surface (quadruped_env.py:488-1007) as LegsAttr numpy.

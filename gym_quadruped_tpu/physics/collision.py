@@ -112,6 +112,10 @@ def _layout_cached(key) -> tuple:
         condim, friction, solref, solimp, margin, gap = _combine_params(m, g1, g2)
         specs.append(PairSpec(int(g1), int(g2), ncon, condim, friction,
                               solref, solimp, margin, gap))
+    # group pairs by type so the narrow phase runs ≤ one vectorized primitive
+    # per (t1, t2) type instead of one op-chain per pair (stable within groups)
+    specs.sort(key=lambda s: (int(m.geom_type[s.geom1]),
+                              int(m.geom_type[s.geom2])))
     return tuple(specs)
 
 
@@ -318,39 +322,63 @@ class Contacts:
 
 
 def collide(m: Model, kin) -> Contacts:
-    """Compute all contact slots from FK results."""
+    """Compute all contact slots from FK results.
+
+    Pairs are grouped by (t1, t2) type (contact_layout sorts them) and each group
+    runs ONE vmapped primitive over stacked geom poses — ≤8 vectorized op-chains
+    per step instead of one chain per pair."""
     dtype = kin.geom_xpos.dtype
     size = jnp.asarray(m.geom_size, dtype)
-    dists, poss, normals = [], [], []
-    for spec in contact_layout(m):
-        g1, g2 = spec.geom1, spec.geom2
-        t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
-        p1, R1 = kin.geom_xpos[g1], kin.geom_xmat[g1]
-        p2, R2 = kin.geom_xpos[g2], kin.geom_xmat[g2]
-        if t1 == GEOM_PLANE and t2 == GEOM_SPHERE:
-            d, p, n = _plane_sphere(p1, R1, p2, size[g2, 0])
-        elif t1 == GEOM_PLANE and t2 == GEOM_CAPSULE:
-            d, p, n = _plane_capsule(p1, R1, p2, R2, size[g2, 0], size[g2, 1])
-        elif t1 == GEOM_PLANE and t2 == GEOM_BOX:
-            d, p, n = _plane_box(p1, R1, p2, R2, size[g2])
-        elif t1 == GEOM_PLANE and t2 == GEOM_CYLINDER:
-            d, p, n = _plane_cylinder(p1, R1, p2, R2, size[g2, 0], size[g2, 1])
-        elif t1 == GEOM_BOX and t2 == GEOM_SPHERE:
-            d, p, n = _box_sphere(p1, R1, size[g1], p2, size[g2, 0])
-        elif t1 == GEOM_BOX and t2 == GEOM_CAPSULE:
-            d, p, n = _box_capsule(p1, R1, size[g1], p2, R2, size[g2, 0], size[g2, 1])
-        elif t1 == GEOM_HFIELD and t2 == GEOM_SPHERE:
-            d, p, n = _hfield_sphere(m, p1, R1, p2, size[g2, 0])
-        elif t1 == GEOM_HFIELD and t2 == GEOM_CAPSULE:
-            d, p, n = _hfield_capsule(m, p1, R1, p2, R2, size[g2, 0], size[g2, 1])
-        else:  # pragma: no cover - layout filters unsupported pairs
-            raise AssertionError((t1, t2))
-        dists.append(d)
-        poss.append(p)
-        normals.append(n)
-    if not dists:
+    specs = contact_layout(m)
+    if not specs:
         return Contacts(jnp.zeros(0, dtype), jnp.zeros((0, 3), dtype),
                         jnp.zeros((0, 3, 3), dtype))
+
+    dists, poss, normals = [], [], []
+    i = 0
+    while i < len(specs):
+        t1 = int(m.geom_type[specs[i].geom1])
+        t2 = int(m.geom_type[specs[i].geom2])
+        j = i
+        while j < len(specs) and int(m.geom_type[specs[j].geom1]) == t1 \
+                and int(m.geom_type[specs[j].geom2]) == t2:
+            j += 1
+        g1 = np.array([s.geom1 for s in specs[i:j]], np.int32)
+        g2 = np.array([s.geom2 for s in specs[i:j]], np.int32)
+        p1, R1 = kin.geom_xpos[g1], kin.geom_xmat[g1]
+        p2, R2 = kin.geom_xpos[g2], kin.geom_xmat[g2]
+        s1, s2 = size[g1], size[g2]
+
+        if t1 == GEOM_PLANE and t2 == GEOM_SPHERE:
+            fn = lambda p1, R1, p2, R2, s1, s2: _plane_sphere(p1, R1, p2, s2[0])
+        elif t1 == GEOM_PLANE and t2 == GEOM_CAPSULE:
+            fn = lambda p1, R1, p2, R2, s1, s2: _plane_capsule(
+                p1, R1, p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_PLANE and t2 == GEOM_BOX:
+            fn = lambda p1, R1, p2, R2, s1, s2: _plane_box(p1, R1, p2, R2, s2)
+        elif t1 == GEOM_PLANE and t2 == GEOM_CYLINDER:
+            fn = lambda p1, R1, p2, R2, s1, s2: _plane_cylinder(
+                p1, R1, p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_BOX and t2 == GEOM_SPHERE:
+            fn = lambda p1, R1, p2, R2, s1, s2: _box_sphere(p1, R1, s1, p2, s2[0])
+        elif t1 == GEOM_BOX and t2 == GEOM_CAPSULE:
+            fn = lambda p1, R1, p2, R2, s1, s2: _box_capsule(
+                p1, R1, s1, p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_HFIELD and t2 == GEOM_SPHERE:
+            fn = lambda p1, R1, p2, R2, s1, s2: _hfield_sphere(
+                m, p1, R1, p2, s2[0])
+        elif t1 == GEOM_HFIELD and t2 == GEOM_CAPSULE:
+            fn = lambda p1, R1, p2, R2, s1, s2: _hfield_capsule(
+                m, p1, R1, p2, R2, s2[0], s2[1])
+        else:  # pragma: no cover - layout filters unsupported pairs
+            raise AssertionError((t1, t2))
+
+        d, p, n = jax.vmap(fn)(p1, R1, p2, R2, s1, s2)  # (G, k, ...)
+        dists.append(d.reshape(-1))
+        poss.append(p.reshape(-1, 3))
+        normals.append(n.reshape(-1, 3))
+        i = j
+
     n_all = jnp.concatenate(normals)
     return Contacts(jnp.concatenate(dists), jnp.concatenate(poss),
                     make_frame(n_all))
