@@ -126,10 +126,55 @@ def _fallback(A, b):
     return jax.scipy.linalg.cho_solve(L, b)
 
 
+def unrolled_chol_solve(A, b):
+    """Fully-unrolled scalar Cholesky solve for one (n, n) SPD system.
+
+    Same algorithm as the Pallas kernel but expressed on traced scalars, so it
+    can run INSIDE other Pallas kernels (nested pallas_call is not allowed) or
+    under `vmap(in_axes=-1)` where each entry is already a lane vector."""
+    n = b.shape[-1]
+    a = [[A[i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    Linv = [None] * n
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        Linv[j] = 1.0 / d
+        for i in range(j + 1, n):
+            s2 = a[i][j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 * Linv[j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * Linv[i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s * Linv[i]
+    return jnp.stack(x)
+
+
+# When True, spd_solve lowers to the unrolled scalar Cholesky regardless of
+# backend — required when the caller is itself inside a Pallas kernel (the
+# megakernel path), where a nested pallas_call is illegal.
+FORCE_UNROLLED = False
+
+
 @jax.custom_batching.custom_vmap
 def spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b for one SPD system (n, n), (n,). Under jax.vmap this
     dispatches to the lane-batched Pallas kernel on TPU."""
+    if FORCE_UNROLLED:
+        return unrolled_chol_solve(A, b)
     return _fallback(A, b)
 
 
@@ -140,6 +185,8 @@ def _spd_solve_vmap(axis_size, in_batched, A, b):
         A = jnp.broadcast_to(A, (axis_size,) + A.shape)
     if not b_b:
         b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    if FORCE_UNROLLED:
+        return jax.vmap(unrolled_chol_solve)(A, b), True
     n = b.shape[-1]
     use_kernel = (jax.default_backend() == 'tpu' and n <= _MAX_N
                   and A.dtype == jnp.float32 and A.ndim == 3)

@@ -49,8 +49,8 @@ class Forward:
     qfrc_constraint: Any  # (nv,)
 
 
-def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
-            warmstart=None, solver_iterations: int = 10, con_mu=None) -> Forward:
+def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None):
+    """Everything before the constraint solve (one env)."""
     dtype = qpos.dtype
     if qfrc_applied is None:
         qfrc_applied = jnp.zeros(m.nv, dtype)
@@ -67,6 +67,14 @@ def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
 
     contacts = collide(m, kin)
     efc = make_efc(m, kin, qpos, qvel, contacts, cdof, con_mu=con_mu)
+    return (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth,
+            contacts, efc)
+
+
+def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
+            warmstart=None, solver_iterations: int = 10, con_mu=None) -> Forward:
+    (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth, contacts,
+     efc) = _pre_solve(m, qpos, qvel, ctrl, qfrc_applied, con_mu)
     lay = constraint_layout(m)
     qacc, f_simple, f_cone, qfrc_constraint = solve(
         m, lay, M, qacc_smooth, efc,
@@ -126,4 +134,38 @@ def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
     fwd = forward(m, qpos, qvel, ctrl, qfrc_applied, warmstart, solver_iterations,
                   con_mu=con_mu)
     qpos_new, qvel_new = euler(m, qpos, qvel, fwd)
+    return qpos_new, qvel_new, fwd
+
+
+def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
+                 solver_iterations: int = 10, con_mu=None):
+    """Batch-level mj_step: identical math to vmap(step) but the Newton
+    constraint solve runs as ONE fused Pallas kernel per batch chunk
+    (ops/newton_solve.py) — the whole iteration loop stays in VMEM instead of
+    relaunching hundreds of small XLA kernels. Falls back to the XLA solver off
+    TPU. Inputs/outputs carry a leading batch axis."""
+    import jax
+
+    from gym_quadruped_tpu.ops import newton_solve
+
+    if qfrc_applied is None:
+        pre = jax.vmap(lambda a, b, c: _pre_solve(m, a, b, c, None, con_mu))(
+            qpos, qvel, ctrl)
+    else:
+        pre = jax.vmap(lambda a, b, c, q: _pre_solve(m, a, b, c, q, con_mu))(
+            qpos, qvel, ctrl, qfrc_applied)
+    (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth, contacts,
+     efc) = pre
+
+    lay = constraint_layout(m)
+    qacc, f_simple, f_cone, qfrc_constraint = newton_solve.solve_batched(
+        m, lay, M, qacc_smooth, efc, iterations=solver_iterations)
+
+    fwd = Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,
+                  qfrc_actuator=act, qfrc_smooth=qfrc_smooth,
+                  qacc_smooth=qacc_smooth, contacts=contacts, efc=efc,
+                  qacc=qacc, efc_force=f_simple, f_cone=f_cone,
+                  qfrc_constraint=qfrc_constraint)
+    qpos_new, qvel_new = jax.vmap(lambda qp, qv, f: euler(m, qp, qv, f))(
+        qpos, qvel, fwd)
     return qpos_new, qvel_new, fwd

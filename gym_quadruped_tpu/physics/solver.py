@@ -40,22 +40,87 @@ def _safe_norm(x, eps=1e-30):
     return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), eps))
 
 
+# Layout-derived constant arrays (simple_unilateral, cone_dim_mask, linesearch
+# grid) are normally embedded as jnp constants; a Pallas kernel wrapping solve()
+# must pass them as kernel inputs instead (captured array constants are illegal
+# there), so it injects them here around its trace (ops/newton_solve.py).
+CONST_OVERRIDE: dict = {}
+
+# When True every matrix product lowers as broadcast-multiply + reduction
+# instead of dot_general: required inside Pallas kernels, where the env-last
+# vmapped dots hit unsupported Mosaic dot-dimension layouts. The dims here are
+# tiny (nv≈18), so the VPU reduction form costs the same as the dot.
+SUM_FORM = False
+
+
+def _mv(A, x):
+    """(r, c) @ (c,) matvec."""
+    return jnp.sum(A * x, axis=-1) if SUM_FORM else A @ x
+
+
+def _mtv(A, y):
+    """Aᵀ y for A (r, c), y (r,)."""
+    return jnp.sum(A * y[:, None], axis=0) if SUM_FORM else A.T @ y
+
+
+def _cmv(cJ, x):
+    """(C, 6, v) @ (v,) → (C, 6)."""
+    return jnp.sum(cJ * x, axis=-1) if SUM_FORM else \
+        jnp.einsum('cdv,v->cd', cJ, x)
+
+
+def _cmtv(cJ, f):
+    """Σ_cd cJ[c, d] f[c, d] → (v,)."""
+    if SUM_FORM:
+        return jnp.sum(jnp.sum(cJ * jnp.expand_dims(f, 2), axis=1), axis=0)
+    return jnp.einsum('cdv,cd->v', cJ, f)
+
+
+def _jtwj(J, w):
+    """Jᵀ diag(w) J for J (r, v)."""
+    if SUM_FORM:
+        # single-axis expands only: Mosaic rejects multi-1 reshapes (… → …,1,1)
+        aw = jnp.expand_dims(w, 1) * J                         # (r, v)
+        return jnp.sum(jnp.expand_dims(aw, 2) * jnp.expand_dims(J, 1), axis=0)
+    return J.T @ (w[:, None] * J)
+
+
+def _cone_quad(cJ, Cb):
+    """Σ_c cJ_cᵀ Cb_c cJ_c for cJ (C, 6, v), Cb (C, 6, 6) → (v, v)."""
+    if SUM_FORM:
+        # mixed int+None indexing lowers through gather and multi-1 reshapes
+        # fail in Mosaic: use basic slicing + single-axis expand_dims only
+        H = 0.0
+        for d in range(6):
+            cb_d = jnp.expand_dims(Cb[:, d], 2)             # (C, 6, 1)
+            t_d = jnp.sum(cb_d * cJ, axis=1)                # (C, v)
+            cj_d = jnp.expand_dims(cJ[:, d], 2)             # (C, v, 1)
+            H = H + jnp.sum(cj_d * jnp.expand_dims(t_d, 1), axis=0)
+        return H
+    return jnp.einsum('cdv,cde,cew->vw', cJ, Cb, cJ)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
 # ---------------------------------------------------------------------------------
 # force laws
 # ---------------------------------------------------------------------------------
 
-def simple_force(u, D, fl, unilateral):
-    """Row-separable force: one-sided quadratic or Huber clamp."""
+def simple_force(u, D, fl, uni_f):
+    """Row-separable force: one-sided quadratic or Huber clamp.
+    uni_f is a FLOAT 0/1 mask (Mosaic mishandles 1-D bool broadcasts)."""
     f_uni = -D * jnp.minimum(u, 0.0)
     f_hub = -jnp.clip(D * u, -fl, fl)
-    return jnp.where(unilateral, f_uni, f_hub)
+    return uni_f * f_uni + (1.0 - uni_f) * f_hub
 
 
-def simple_hess_weight(u, D, fl, unilateral):
-    """Diagonal curvature of the simple-row costs at u."""
+def simple_hess_weight(u, D, fl, uni_f):
+    """Diagonal curvature of the simple-row costs at u (uni_f: float mask)."""
     c_uni = jnp.where(u < 0, D, 0.0)
     c_hub = jnp.where(jnp.abs(D * u) < fl, D, 0.0)
-    return jnp.where(unilateral, c_uni, c_hub)
+    return uni_f * c_uni + (1.0 - uni_f) * c_hub
 
 
 def _cone_force_block(u, D, mu, dim_mask):
@@ -109,13 +174,24 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         return a_smooth, jnp.zeros((0,), dtype), jnp.zeros((0, 6), dtype), \
             jnp.zeros(nv, dtype)
 
-    unilateral = jnp.asarray(lay.simple_unilateral)
-    D_s = jnp.where(efc.active, 1.0 / efc.R, 0.0)
+    # unilateral rows are exactly the zero-frictionloss rows (friction-loss
+    # Huber rows are the only bilateral simple rows) — deriving the mask from
+    # the traced frictionloss avoids a 1-D constant array, which crashes
+    # Mosaic's layout pass inside the fused kernel
+    unilateral = (efc.frictionloss <= 0).astype(dtype)
+    # activity masks may arrive as float (Mosaic cannot reshape i1 vectors, so
+    # the fused kernel keeps them f32); multiply-by-mask == where(active, ·, 0)
+    act_f = efc.active.astype(dtype) if efc.active.dtype == jnp.bool_ \
+        else efc.active
+    D_s = act_f * (1.0 / efc.R)
     fl = efc.frictionloss
     if C:
-        dim_mask = jnp.asarray(lay.cone_dim_mask, dtype)
+        dim_mask = CONST_OVERRIDE.get(
+            'dim_mask', jnp.asarray(lay.cone_dim_mask, dtype))
         mu = efc.cone_mu
-        D_c = jnp.where(efc.con_active[:, None], 1.0 / efc.con_R, 0.0) * dim_mask
+        con_act_f = efc.con_active.astype(dtype) \
+            if efc.con_active.dtype == jnp.bool_ else efc.con_active
+        D_c = con_act_f[:, None] * (1.0 / efc.con_R) * dim_mask
     else:
         dim_mask = jnp.zeros((0, 6), dtype)
         mu = jnp.zeros((0, 5), dtype)
@@ -129,34 +205,35 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         return fs, fc
 
     def newton_iter(_, a):
-        us = efc.J @ a - efc.aref
-        uc = (jnp.einsum('cdv,v->cd', efc.con_J, a) - efc.con_aref
+        us = _mv(efc.J, a) - efc.aref
+        uc = (_cmv(efc.con_J, a) - efc.con_aref
               if C else jnp.zeros((0, 6), dtype))
         fs, fc = forces(us, uc)
-        g = M @ (a - a_smooth) - efc.J.T @ fs
+        g = _mv(M, a - a_smooth) - _mtv(efc.J, fs)
         if C:
-            g = g - jnp.einsum('cdv,cd->v', efc.con_J, fc)
+            g = g - _cmtv(efc.con_J, fc)
 
         cw = simple_hess_weight(us, D_s, fl, unilateral)
-        H = M + efc.J.T @ (cw[:, None] * efc.J)
+        H = M + _jtwj(efc.J, cw)
         if C:
             Cb = cone_hessian(uc, D_c, mu, dim_mask)
-            H = H + jnp.einsum('cdv,cde,cew->vw', efc.con_J, Cb, efc.con_J)
-        H = H + 1e-10 * jnp.trace(M) / nv * jnp.eye(nv, dtype=dtype)
+            H = H + _cone_quad(efc.con_J, Cb)
+        trace_M = sum(M[i, i] for i in range(nv))  # static-index diagonal sum
+        H = H + 1e-10 * trace_M / nv * jnp.eye(nv, dtype=dtype)
         p = -spd_solve(H, g)
 
         # 1-D guarded linesearch on the convex derivative φ'(t):
         # precompute projections once; evals are elementwise.
-        Mp = M @ p
-        pMp = p @ Mp
-        pMr = p @ (M @ (a - a_smooth))
-        dus = efc.J @ p
-        duc = (jnp.einsum('cdv,v->cd', efc.con_J, p)
+        Mp = _mv(M, p)
+        pMp = _dot(p, Mp)
+        pMr = _dot(p, _mv(M, a - a_smooth))
+        dus = _mv(efc.J, p)
+        duc = (_cmv(efc.con_J, p)
                if C else jnp.zeros((0, 6), dtype))
 
         def dphi(t):
             fs_t, fc_t = forces(us + t * dus, uc + t * duc)
-            val = pMr + t * pMp - fs_t @ dus
+            val = pMr + t * pMp - _dot(fs_t, dus)
             if C:
                 val = val - jnp.sum(fc_t * duc)
             return val
@@ -164,12 +241,27 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         # 1-D root bracket of the convex derivative φ'(t): ONE vectorized grid
         # evaluation (the grid axis rides the TPU lanes) instead of a long chain
         # of sequential widen/bisect kernels, then a few polish bisections.
-        grid = jnp.asarray(np.geomspace(1e-3, 64.0, 14), dtype)
-        vals = jax.vmap(dphi)(grid)
-        neg = vals < 0
-        # largest grid t with φ' < 0 (0 if none), smallest with φ' ≥ 0 (64 if none)
-        lo = jnp.max(jnp.where(neg, grid, jnp.zeros_like(grid)))
-        hi = jnp.min(jnp.where(neg, jnp.full_like(grid, grid[-1]), grid))
+        if SUM_FORM:
+            # static unroll with PYTHON-float grid points: a vmap level over the
+            # grid axis creates rank-4 broadcasts and 1-D array constants crash
+            # Mosaic's layout pass
+            t_pts = [float(x) for x in np.geomspace(1e-3, 64.0, 14)]
+            vals = [dphi(t) for t in t_pts]
+            lo = jnp.zeros_like(vals[0])
+            hi = jnp.full_like(vals[0], 64.0)
+            for t, v in zip(t_pts, vals):
+                lo = jnp.where(v < 0, t, lo)          # last negative (ascending)
+            for t, v in zip(reversed(t_pts), reversed(vals)):
+                hi = jnp.where(v >= 0, t, hi)         # first non-negative
+        else:
+            grid = CONST_OVERRIDE.get(
+                'ls_grid', jnp.asarray(np.geomspace(1e-3, 64.0, 14), dtype))
+            vals = jax.vmap(dphi)(grid)
+            neg = vals < 0
+            # largest grid t with φ' < 0 (0 if none), smallest with φ' ≥ 0
+            # (the static grid endpoint if none)
+            lo = jnp.max(jnp.where(neg, grid, jnp.zeros_like(grid)))
+            hi = jnp.min(jnp.where(neg, jnp.full_like(grid, 64.0), grid))
 
         def bisect(_, bounds):
             lo, hi = bounds
@@ -185,11 +277,11 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
 
     a = jax.lax.fori_loop(0, iterations, newton_iter, a0)
 
-    us = efc.J @ a - efc.aref
-    uc = (jnp.einsum('cdv,v->cd', efc.con_J, a) - efc.con_aref
+    us = _mv(efc.J, a) - efc.aref
+    uc = (_cmv(efc.con_J, a) - efc.con_aref
           if C else jnp.zeros((0, 6), dtype))
     fs, fc = forces(us, uc)
-    qfrc = efc.J.T @ fs
+    qfrc = _mtv(efc.J, fs)
     if C:
-        qfrc = qfrc + jnp.einsum('cdv,cd->v', efc.con_J, fc)
+        qfrc = qfrc + _cmtv(efc.con_J, fc)
     return a, fs, fc, qfrc
