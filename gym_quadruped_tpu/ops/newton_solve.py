@@ -35,7 +35,8 @@ from gym_quadruped_tpu.physics.constraints import ConstraintLayout, Efc
 spd_mod = importlib.import_module('gym_quadruped_tpu.ops.spd_solve')
 
 INTERPRET = False
-_CHUNK = 128  # envs per kernel instance (lane width)
+_SUB, _LANES = 8, 128
+_CHUNK = _SUB * _LANES  # envs per kernel instance, shaped (8, 128) in-kernel
 
 # The fused kernel is numerically verified (tests/test_newton_kernel.py runs it
 # in interpreter mode against the XLA solver) but the current Mosaic release
@@ -46,11 +47,13 @@ ENABLE_FUSED = False
 
 
 def _to_last(x):
-    """(B, ...) → (..., B)."""
-    return jnp.moveaxis(x, 0, -1)
+    """(B, ...) → (..., B/128, 128): batch as trailing (sublane, lane) tiles."""
+    x = jnp.moveaxis(x, 0, -1)
+    return x.reshape(x.shape[:-1] + (x.shape[-1] // _LANES, _LANES))
 
 
 def _from_last(x):
+    x = x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
     return jnp.moveaxis(x, -1, 0)
 
 
@@ -87,11 +90,11 @@ def solve_batched(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         return _to_last(x)
 
     # pad M with identity so the dummy envs stay solvable
-    M_p = prep(M)
+    M_in = M.astype(jnp.float32)
     if pad:
-        eye = jnp.broadcast_to(jnp.eye(nv, dtype=jnp.float32)[:, :, None],
-                               (nv, nv, pad))
-        M_p = jnp.concatenate([M_p[..., :B], eye], axis=-1)
+        eye = jnp.broadcast_to(jnp.eye(nv, dtype=jnp.float32), (pad, nv, nv))
+        M_in = jnp.concatenate([M_in, eye], axis=0)
+    M_p = _to_last(M_in)
 
     args = dict(
         M=M_p, a=prep(a_smooth),
@@ -128,9 +131,9 @@ def _kernel_call(m_key, lay_key, nv, ns, C, Bp, iterations, ls_iterations,
     n_batched = 12  # leading args carry the env batch on their last axis
 
     def spec(shape):
-        block = shape[:-1] + (_CHUNK,)
+        block = shape[:-2] + (_SUB, _LANES)
         nd = len(shape)
-        return pl.BlockSpec(block, (lambda c, nd=nd: (0,) * (nd - 1) + (c,)),
+        return pl.BlockSpec(block, (lambda c, nd=nd: (0,) * (nd - 2) + (c, 0)),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -156,9 +159,10 @@ def _kernel_call(m_key, lay_key, nv, ns, C, Bp, iterations, ls_iterations,
             solve_env = functools.partial(
                 _solver.solve, m, lay, iterations=iterations,
                 ls_iterations=ls_iterations)
-            qacc, fs, fc, qfrc = jax.vmap(
+            solve2 = jax.vmap(jax.vmap(
                 lambda Mi, ai, ei: solve_env(Mi, ai, ei),
-                in_axes=-1, out_axes=-1)(M_ref[:], a_ref[:], efc)
+                in_axes=-1, out_axes=-1), in_axes=-1, out_axes=-1)
+            qacc, fs, fc, qfrc = solve2(M_ref[:], a_ref[:], efc)
             qacc_ref[:] = qacc
             fs_ref[:] = fs
             fc_ref[:] = fc
@@ -168,11 +172,12 @@ def _kernel_call(m_key, lay_key, nv, ns, C, Bp, iterations, ls_iterations,
             _solver.SUM_FORM = old_sum_form
             _solver.CONST_OVERRIDE.clear()
 
+    rows = Bp // _LANES
     out_shapes = (
-        jax.ShapeDtypeStruct((nv, Bp), jnp.float32),
-        jax.ShapeDtypeStruct((ns, Bp), jnp.float32),
-        jax.ShapeDtypeStruct((C, 6, Bp), jnp.float32),
-        jax.ShapeDtypeStruct((nv, Bp), jnp.float32),
+        jax.ShapeDtypeStruct((nv, rows, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((ns, rows, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((C, 6, rows, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nv, rows, _LANES), jnp.float32),
     )
     in_specs = [spec(s) for s in shapes[:n_batched]] + \
         [const_spec(s) for s in shapes[n_batched:]]

@@ -72,7 +72,11 @@ def _cmv(cJ, x):
 def _cmtv(cJ, f):
     """Σ_cd cJ[c, d] f[c, d] → (v,)."""
     if SUM_FORM:
-        return jnp.sum(jnp.sum(cJ * jnp.expand_dims(f, 2), axis=1), axis=0)
+        # static loop over output columns with FULL reductions: partial
+        # reductions over leading dims of rank-4 batched tensors trip Mosaic's
+        # relayout ("non-singleton logical dimension is replicated")
+        return jnp.stack([jnp.sum(cJ[:, :, v] * f)
+                          for v in range(cJ.shape[2])])
     return jnp.einsum('cdv,cd->v', cJ, f)
 
 
