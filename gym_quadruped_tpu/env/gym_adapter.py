@@ -212,6 +212,97 @@ class QuadrupedGymEnv(_GYM_BASE):
             jacp = np.einsum('ij,fjv->fiv', R.T, jacp)
         return LegsAttr(*list(jacp))
 
+    def feet_jacobians_dot(self, frame='world') -> LegsAttr:
+        """mj_jacDot parity (reference quadruped_env.py:742)."""
+        from gym_quadruped_tpu.physics.kinematics import point_jacobian_dot
+
+        m = self.core.model
+        pts = np.asarray(self.fwd.kin.geom_xpos)[np.asarray(m.feet_geom_id)]
+        jds = [np.asarray(point_jacobian_dot(
+            m, self.fwd.kin, self.fwd.cdof, self._state.qvel,
+            jnp.asarray(pts[i]), int(m.feet_body_id[i]))) for i in range(4)]
+        if frame == 'base':
+            R, _ = self._base_RT()
+            jds = [R.T @ j for j in jds]
+        return LegsAttr(*jds)
+
+    def feet_vel(self, frame='world', relative=False) -> LegsAttr:
+        """Reference feet_vel semantics (quadruped_env.py:631-679)."""
+        m = self.core.model
+        jac = self.feet_jacobians('world')
+        qvel = np.asarray(self._state.qvel)
+        feet_p = self.feet_pos('world')
+        base_p = self.base_pos
+        out = []
+        for leg in ('FL', 'FR', 'RL', 'RR'):
+            v = jac[leg] @ qvel
+            if relative:
+                v = v - qvel[0:3] - np.cross(qvel[3:6], feet_p[leg] - base_p)
+            out.append(v)
+        if frame == 'base':
+            R, _ = self._base_RT()
+            out = [R.T @ v for v in out]
+        return LegsAttr(*out)
+
+    def hip_positions(self, frame='world') -> LegsAttr:
+        """Reference hip_positions (quadruped_env.py:564): R.T @ hip_xpos."""
+        m = self.core.model
+        xpos = np.asarray(self.fwd.kin.xpos)
+        R = np.eye(3) if frame == 'world' else self._base_RT()[0]
+        return LegsAttr(*[R.T @ xpos[b] if b >= 0 else None
+                          for b in np.asarray(m.hip_body_id)])
+
+    def get_base_inertia(self) -> np.ndarray:
+        """Reflected base rotational inertia = M[3:6, 3:6]
+        (reference quadruped_env.py:543)."""
+        return np.asarray(self.fwd.M)[3:6, 3:6]
+
+    def base_lin_vel(self, frame='world'):
+        v = np.asarray(self._state.qvel[0:3])
+        return v if frame == 'world' else self._base_RT()[0].T @ v
+
+    def base_ang_vel(self, frame='base'):
+        w = np.asarray(self._state.qvel[3:6])
+        return w if frame == 'base' else self._base_RT()[0] @ w
+
+    @property
+    def base_configuration(self) -> np.ndarray:
+        R, t = self._base_RT()
+        X = np.eye(4)
+        X[:3, :3] = R
+        X[:3, 3] = t
+        return X
+
+    @property
+    def heading_orientation_SO3(self) -> np.ndarray:
+        from gym_quadruped_tpu.env.observables import heading_R
+
+        return np.asarray(heading_R(self._state.qpos))
+
+    @property
+    def base_ori_euler_xyz(self) -> np.ndarray:
+        from gym_quadruped_tpu.utils.maths import quat_to_euler_xyz
+
+        return np.asarray(quat_to_euler_xyz(self._state.qpos[3:7]))
+
+    @property
+    def gravity_vector(self) -> np.ndarray:
+        return self._base_RT()[0].T @ np.array([0.0, 0.0, -1.0])
+
+    @property
+    def joint_space_state(self):
+        return (np.asarray(self._state.qpos[7:]), np.asarray(self._state.qvel[6:]))
+
+    @property
+    def kinetic_energy(self) -> float:
+        qvel = np.asarray(self._state.qvel)
+        return float(0.5 * qvel @ np.asarray(self.fwd.M) @ qvel)
+
+    @property
+    def work(self) -> float:
+        return float((np.asarray(self.fwd.M) @ np.asarray(self.fwd.qacc))
+                     @ np.asarray(self._state.qvel))
+
     def feet_contact_state(self, frame='world', ground_reaction_forces=False):
         m = self.core.model
         lay = constraint_layout(m)

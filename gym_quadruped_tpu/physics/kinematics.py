@@ -203,6 +203,60 @@ def point_jacobian(m: Model, kin: Kin, cdof_: jnp.ndarray, point: jnp.ndarray,
     return (vp * mask[:, None]).T
 
 
+def cdof_dot(m: Model, kin: Kin, qvel: jnp.ndarray,
+             cdof_: jnp.ndarray) -> jnp.ndarray:
+    """(nv, 6) time derivative of the motion subspace vectors (mjData.cdof_dot).
+
+    Ṡ = v_child ×ₘ S for axes fixed in the moving child body; free-joint
+    TRANSLATION axes are fixed in the world, so their derivative is zero
+    (same split as the RNE velocity-product term, dynamics.rne_bias).
+    """
+    from gym_quadruped_tpu.physics import dynamics
+
+    dtype = qvel.dtype
+    vel = dynamics.body_velocities(m, kin, qvel, cdof_)  # (nbody, 6)
+    w = vel[m.dof_bodyid, :3]
+    v = vel[m.dof_bodyid, 3:]
+    sw = cdof_[:, :3]
+    sv = cdof_[:, 3:]
+    dot = jnp.concatenate(
+        [jnp.cross(w, sw), jnp.cross(w, sv) + jnp.cross(v, sw)], axis=1)
+    # zero the free-joint translation dofs (world-fixed axes)
+    import numpy as np
+
+    mask = np.ones((m.nv, 1))
+    for j in range(m.njnt):
+        if int(m.jnt_type[j]) == FREE:
+            adr = int(m.jnt_dofadr[j])
+            mask[adr:adr + 3] = 0.0
+    return dot * jnp.asarray(mask, dtype)
+
+
+def point_jacobian_dot(m: Model, kin: Kin, cdof_: jnp.ndarray,
+                       qvel: jnp.ndarray, point: jnp.ndarray,
+                       body_id: int) -> jnp.ndarray:
+    """(3, nv) time derivative of the translational point Jacobian (mj_jacDot,
+    reference feet_jacobians_dot — quadruped_env.py:742-798).
+
+    d/dt[v0ᵢ + ωᵢ×(p−c)] = v̇0ᵢ + ω̇ᵢ×(p−c) + ωᵢ×v(p), with (ω̇ᵢ; v̇0ᵢ) from
+    cdof_dot and v(p) the material point velocity; c (the spatial origin) is
+    treated as instantaneously fixed, matching MuJoCo's c-frame convention.
+    """
+    from gym_quadruped_tpu.physics import dynamics
+
+    c = spatial_origin(kin)
+    rel = point - c
+    dot = cdof_dot(m, kin, qvel, cdof_)
+    vel_b = dynamics.body_velocities(m, kin, qvel, cdof_)[body_id]
+    v_p = vel_b[3:] + jnp.cross(vel_b[:3], rel)
+
+    omega = cdof_[:, :3]
+    jdot = (dot[:, 3:] + jnp.cross(dot[:, :3], rel[None, :])
+            + jnp.cross(omega, v_p[None, :]))
+    mask = jnp.asarray(ancestor_dof_mask(m, body_id), jdot.dtype)
+    return (jdot * mask[:, None]).T
+
+
 def ancestor_dof_mask(m: Model, body_id: int):
     """Static (numpy) 0/1 mask of dofs on the kinematic chain from world to body."""
     import numpy as np
