@@ -103,8 +103,8 @@ def solve_batched(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         con_J=prep(efc.con_J), con_aref=prep(efc.con_aref),
         con_R=prep(efc.con_R, 1.0), con_active=prep(efc.con_active),
         cone_mu=prep(efc.cone_mu, 1.0),
-        # layout constant (captured arrays are illegal in pallas kernels)
-        dim_mask=jnp.asarray(lay.cone_dim_mask, jnp.float32),
+        cone_dim_mask=prep(efc.cone_dim_mask),
+        cone_dist=prep(efc.cone_dist, 1.0),
     )
     names = list(args.keys())
     m_key, lay_key = register(m, lay)
@@ -128,7 +128,7 @@ def _kernel_call(m_key, lay_key, nv, ns, C, Bp, iterations, ls_iterations,
     from gym_quadruped_tpu.physics import solver as _solver
 
     grid = (Bp // _CHUNK,)
-    n_batched = 12  # leading args carry the env batch on their last axis
+    n_batched = 14  # all args carry the env batch on their trailing axes
 
     def spec(shape):
         block = shape[:-2] + (_SUB, _LANES)
@@ -143,19 +143,19 @@ def _kernel_call(m_key, lay_key, nv, ns, C, Bp, iterations, ls_iterations,
 
     def kernel(M_ref, a_ref, J_ref, aref_ref, R_ref, act_ref, fl_ref,
                cJ_ref, caref_ref, cR_ref, cact_ref, cmu_ref,
-               mask_ref,
+               cmask_ref, cdist_ref,
                qacc_ref, fs_ref, fc_ref, qfrc_ref):
         old_unrolled = spd_mod.FORCE_UNROLLED
         old_sum_form = _solver.SUM_FORM
         spd_mod.FORCE_UNROLLED = True
         _solver.SUM_FORM = True
-        _solver.CONST_OVERRIDE.update(dim_mask=mask_ref[:])
         try:
             # masks stay f32: Mosaic cannot reshape i1 vectors
             efc = Efc(J=J_ref[:], aref=aref_ref[:], R=R_ref[:],
                       active=act_ref[:], frictionloss=fl_ref[:],
                       con_J=cJ_ref[:], con_aref=caref_ref[:], con_R=cR_ref[:],
-                      con_active=cact_ref[:], cone_mu=cmu_ref[:])
+                      con_active=cact_ref[:], cone_mu=cmu_ref[:],
+                      cone_dim_mask=cmask_ref[:], cone_dist=cdist_ref[:])
             solve_env = functools.partial(
                 _solver.solve, m, lay, iterations=iterations,
                 ls_iterations=ls_iterations)

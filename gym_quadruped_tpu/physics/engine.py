@@ -22,7 +22,12 @@ from gym_quadruped_tpu.models.model import FREE, BALL, Model
 from gym_quadruped_tpu.ops.spd_solve import spd_solve
 from gym_quadruped_tpu.physics import dynamics
 from gym_quadruped_tpu.physics.collision import Contacts, collide
-from gym_quadruped_tpu.physics.constraints import Efc, constraint_layout, make_efc
+from gym_quadruped_tpu.physics.constraints import (
+    Efc,
+    constraint_layout,
+    cull_cone_slots,
+    make_efc,
+)
 from gym_quadruped_tpu.physics.kinematics import Kin, cdof as _cdof, fk
 from gym_quadruped_tpu.physics.solver import solve
 from gym_quadruped_tpu.utils.maths import quat_integrate
@@ -71,14 +76,25 @@ def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None):
             contacts, efc)
 
 
+# cap on simultaneously-solved cone contacts (MuJoCo similarly caps contacts);
+# exact whenever ≤ MAX_CONE_CONTACTS slots touch, and it bounds solver cost on
+# slot-heavy scenes (go2/flat C=99, go2/random_boxes C=1999 → 32)
+MAX_CONE_CONTACTS = 32
+
+
 def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
-            warmstart=None, solver_iterations: int = 10, con_mu=None) -> Forward:
+            warmstart=None, solver_iterations: int = 10, con_mu=None,
+            max_contacts: int = MAX_CONE_CONTACTS) -> Forward:
     (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth, contacts,
      efc) = _pre_solve(m, qpos, qvel, ctrl, qfrc_applied, con_mu)
     lay = constraint_layout(m)
+    efc_solve, sel = cull_cone_slots(efc, max_contacts)
     qacc, f_simple, f_cone, qfrc_constraint = solve(
-        m, lay, M, qacc_smooth, efc,
+        m, lay, M, qacc_smooth, efc_solve,
         warmstart=warmstart, iterations=solver_iterations)
+    if sel is not None:  # scatter the culled forces back to the full slot axis
+        C = efc.con_J.shape[0]
+        f_cone = jnp.zeros((C, 6), f_cone.dtype).at[sel].set(f_cone)
 
     return Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,
                    qfrc_actuator=act, qfrc_smooth=qfrc_smooth,
@@ -158,8 +174,17 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
      efc) = pre
 
     lay = constraint_layout(m)
+    C = efc.con_J.shape[1]
+    if C > MAX_CONE_CONTACTS:
+        efc_solve, sel = jax.vmap(
+            lambda e: cull_cone_slots(e, MAX_CONE_CONTACTS))(efc)
+    else:
+        efc_solve, sel = efc, None
     qacc, f_simple, f_cone, qfrc_constraint = newton_solve.solve_batched(
-        m, lay, M, qacc_smooth, efc, iterations=solver_iterations)
+        m, lay, M, qacc_smooth, efc_solve, iterations=solver_iterations)
+    if sel is not None:
+        f_cone = jax.vmap(lambda s, f: jnp.zeros((C, 6), f.dtype).at[s].set(f))(
+            sel, f_cone)
 
     fwd = Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,
                   qfrc_actuator=act, qfrc_smooth=qfrc_smooth,

@@ -190,8 +190,7 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
     D_s = act_f * (1.0 / efc.R)
     fl = efc.frictionloss
     if C:
-        dim_mask = CONST_OVERRIDE.get(
-            'dim_mask', jnp.asarray(lay.cone_dim_mask, dtype))
+        dim_mask = efc.cone_dim_mask
         mu = efc.cone_mu
         con_act_f = efc.con_active.astype(dtype) \
             if efc.con_active.dtype == jnp.bool_ else efc.con_active
