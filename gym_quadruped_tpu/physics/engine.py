@@ -78,8 +78,8 @@ def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None):
 
 # cap on simultaneously-solved cone contacts (MuJoCo similarly caps contacts);
 # exact whenever ≤ MAX_CONE_CONTACTS slots touch, and it bounds solver cost on
-# slot-heavy scenes (go2/flat C=99, go2/random_boxes C=1999 → 32)
-MAX_CONE_CONTACTS = 32
+# slot-heavy scenes (go2/flat C=99, go2/random_boxes C=1999 → 16).
+MAX_CONE_CONTACTS = 16
 
 
 def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
@@ -162,7 +162,7 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
     TPU. Inputs/outputs carry a leading batch axis."""
     import jax
 
-    from gym_quadruped_tpu.ops import newton_solve
+    from gym_quadruped_tpu.ops import newton_bt
 
     if qfrc_applied is None:
         pre = jax.vmap(lambda a, b, c: _pre_solve(m, a, b, c, None, con_mu))(
@@ -180,7 +180,7 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
             lambda e: cull_cone_slots(e, MAX_CONE_CONTACTS))(efc)
     else:
         efc_solve, sel = efc, None
-    qacc, f_simple, f_cone, qfrc_constraint = newton_solve.solve_batched(
+    qacc, f_simple, f_cone, qfrc_constraint = newton_bt.solve_batched_bt(
         m, lay, M, qacc_smooth, efc_solve, iterations=solver_iterations)
     if sel is not None:
         f_cone = jax.vmap(lambda s, f: jnp.zeros((C, 6), f.dtype).at[s].set(f))(

@@ -163,6 +163,65 @@ def cone_hessian(u, D, mu, dim_mask):
     return -_cone_jac_vmap(u, D, mu, dim_mask)
 
 
+def cone_hessian_analytic(u, D, mu, dim_mask):
+    """Closed-form (C, 6, 6) cone block curvature — same values as the jacfwd
+    path (verified in tests/test_solver_internals.py) but expressed with plain
+    broadcast arithmetic, which the batch-trailing Pallas kernel can lower.
+
+    Middle zone (W = (μ₀T + ρDₙN)/(1+ρDₙ), s = μ₀T, γⱼ = μⱼ²uⱼ/(μ₀T),
+    βⱼ = γⱼ/(1+ρDₙ)):
+        −∂fₙ/∂N  = Dₙ(1−α),    −∂fₙ/∂uⱼ = −Dₙβⱼ          (α = ρDₙ/(1+ρDₙ))
+        −∂fᵢ/∂N  = −Dᵢuᵢα/s
+        −∂fᵢ/∂uⱼ = Dᵢδᵢⱼ(1−W/s) − Dᵢuᵢ(βⱼ − (W/s)γⱼ)/s
+    """
+    dtype = u.dtype
+    C = u.shape[0]
+    mu0 = mu[:, 0]                                     # (C,)
+    N = u[:, 0]
+    uf = u[:, 1:] * dim_mask[:, 1:]                    # (C, 5)
+    Dn = D[:, 0]
+    Dt = D[:, 1]
+    rho = mu0 * mu0 / jnp.maximum(Dt, 1e-30)
+    T = jnp.sqrt(jnp.maximum(
+        jnp.sum((uf * mu[:, :5] / jnp.expand_dims(mu0, 1)) ** 2, axis=1),
+        1e-30))
+    s = mu0 * T
+    alpha = rho * Dn / (1.0 + rho * Dn)
+    W = (s + rho * Dn * N) / (1.0 + rho * Dn)
+    gamma = (mu[:, :5] ** 2) * uf / jnp.expand_dims(
+        jnp.maximum(mu0 * T, 1e-30), 1)   # μⱼ²uⱼ/(μ₀T)
+    beta = gamma / jnp.expand_dims(1.0 + rho * Dn, 1)
+    Ws = W / jnp.maximum(s, 1e-30)
+
+    Df = D[:, 1:] * dim_mask[:, 1:]                    # (C, 5)
+    H = jnp.zeros((C, 6, 6), dtype)
+    # row 0 (normal)
+    H = H.at[:, 0, 0].set(Dn * (1.0 - alpha))
+    H = H.at[:, 0, 1:].set(-jnp.expand_dims(Dn, 1) * beta)
+    # col 0 (d fᵢ / dN)
+    H = H.at[:, 1:, 0].set(-Df * uf * jnp.expand_dims(
+        alpha / jnp.maximum(s, 1e-30), 1))
+    # friction block
+    diag = Df * jnp.expand_dims(1.0 - Ws, 1)           # (C, 5)
+    outer = (jnp.expand_dims(Df * uf, 2) *
+             jnp.expand_dims(beta - jnp.expand_dims(Ws, 1) * gamma, 1) /
+             jnp.expand_dims(jnp.expand_dims(jnp.maximum(s, 1e-30), 1), 2))
+    ff = jnp.expand_dims(diag, 2) * jnp.eye(5, dtype=dtype)[None] - outer
+    H = H.at[:, 1:, 1:].set(ff)
+
+    # zone selection
+    top = N >= mu0 * T                                  # f = 0 → H = 0
+    bottom = W <= 0.0                                   # f = −D∘u → H = diag(D)
+    Hm = H * jnp.expand_dims(dim_mask, 1) * jnp.expand_dims(dim_mask, 2)
+    Hb = (jnp.eye(6, dtype=dtype)[None] *
+          jnp.expand_dims(D * dim_mask, 1) *
+          jnp.expand_dims(dim_mask, 2))
+    zero = jnp.zeros_like(Hm)
+    top_e = jnp.expand_dims(jnp.expand_dims(top, 1), 2)
+    bot_e = jnp.expand_dims(jnp.expand_dims(bottom, 1), 2)
+    return jnp.where(top_e, zero, jnp.where(bot_e, Hb, Hm))
+
+
 # ---------------------------------------------------------------------------------
 # Newton solve
 # ---------------------------------------------------------------------------------
