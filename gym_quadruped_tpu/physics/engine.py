@@ -78,8 +78,10 @@ def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None):
 
 # cap on simultaneously-solved cone contacts (MuJoCo similarly caps contacts);
 # exact whenever ≤ MAX_CONE_CONTACTS slots touch, and it bounds solver cost on
-# slot-heavy scenes (go2/flat C=99, go2/random_boxes C=1999 → 16).
-MAX_CONE_CONTACTS = 16
+# slot-heavy scenes (go2/flat C=99, go2/random_boxes C=1999 → 32). Sized from
+# measurement: a 200-step random-torque go2 tumble reaches 20 simultaneous
+# MuJoCo contacts, and caps ≥24 give bit-identical trajectories to no cap.
+MAX_CONE_CONTACTS = 32
 
 
 def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,

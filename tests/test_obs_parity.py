@@ -132,3 +132,27 @@ def test_trajectory_and_obs_parity(setup):
     assert err_q < 1e-4, f'trajectory diverged: {err_q}'
     for name, e in worst.items():
         assert e < 1e-4, f'obs {name} rel err {e:.2e}'
+
+
+def test_long_horizon_tumble_parity():
+    """100-step random-torque tumble (contact-rich, up to ~20 simultaneous
+    contacts): trajectory must track CPU MuJoCo within the BASELINE 1e-3 bar.
+    Guards the contact-culling cap (engine.MAX_CONE_CONTACTS) and solver
+    convergence against regressions."""
+    mj, limits = build_mj_model('go2', 'flat')
+    model = extract_model(mj, 'go2', 'flat', limits)
+    d = mujoco.MjData(mj)
+    mujoco.mj_resetDataKeyframe(mj, d, 0)
+    mujoco.mj_forward(mj, d)
+    rng = np.random.RandomState(0)
+    ctrl_seq = rng.uniform(-3, 3, (100, mj.nu)) * 0.5
+    qpos = jnp.asarray(d.qpos.copy())
+    qvel = jnp.asarray(d.qvel.copy())
+    step = jax.jit(lambda qp, qv, c: engine.step(model, qp, qv, c)[:2])
+    err = 0.0
+    for t in range(100):
+        d.ctrl[:] = ctrl_seq[t]
+        mujoco.mj_step(mj, d)
+        qpos, qvel = step(qpos, qvel, jnp.asarray(ctrl_seq[t]))
+        err = max(err, float(np.max(np.abs(np.asarray(qpos) - d.qpos))))
+    assert err < 1e-3, f'tumble trajectory error {err:.2e}'
