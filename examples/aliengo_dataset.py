@@ -9,6 +9,13 @@ SURVEY.md §8.3; this is the working equivalent.)
 Run: python examples/aliengo_dataset.py  [--episodes 4 --steps 200]
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo = str(_Path(__file__).resolve().parents[1])
+if _repo not in _sys.path:  # examples run without the package installed
+    _sys.path.insert(0, _repo)
+
 import argparse
 
 import numpy as np

@@ -7,6 +7,13 @@ drives HeightMap/Camera by hand — SURVEY.md §8.6), and everything batches.
 Run: python examples/aliengo_with_sensors.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo = str(_Path(__file__).resolve().parents[1])
+if _repo not in _sys.path:  # examples run without the package installed
+    _sys.path.insert(0, _repo)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

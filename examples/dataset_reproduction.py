@@ -14,6 +14,13 @@ augmentation come from utils/symmetry.configure_observation_space_representation
 Run: python examples/dataset_reproduction.py [--steps 300]
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo = str(_Path(__file__).resolve().parents[1])
+if _repo not in _sys.path:  # examples run without the package installed
+    _sys.path.insert(0, _repo)
+
 import argparse
 
 import numpy as np

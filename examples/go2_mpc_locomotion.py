@@ -7,6 +7,13 @@ functions vmap over thousands of envs unchanged.
 Run: python examples/go2_mpc_locomotion.py [--vx 0.4 --seconds 3.0]
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo = str(_Path(__file__).resolve().parents[1])
+if _repo not in _sys.path:  # examples run without the package installed
+    _sys.path.insert(0, _repo)
+
 import argparse
 import time
 

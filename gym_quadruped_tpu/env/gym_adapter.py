@@ -165,6 +165,16 @@ class QuadrupedGymEnv(_GYM_BASE):
         return self._state
 
     @property
+    def qpos(self) -> np.ndarray:
+        """Generalized positions (reference users read env.mjData.qpos)."""
+        return np.asarray(self._state.qpos)
+
+    @property
+    def qvel(self) -> np.ndarray:
+        """Generalized velocities (reference users read env.mjData.qvel)."""
+        return np.asarray(self._state.qvel)
+
+    @property
     def base_pos(self):
         return np.asarray(self._state.qpos[0:3])
 
@@ -304,6 +314,13 @@ class QuadrupedGymEnv(_GYM_BASE):
                      @ np.asarray(self._state.qvel))
 
     def feet_contact_state(self, frame='world', ground_reaction_forces=False):
+        """Boolean foot-ground contact state (+ optional per-foot GRFs).
+
+        Returns (state, contacts, [forces]) like the reference
+        (quadruped_env.py:799); the middle element is the reference's per-foot
+        MjContact list and is always None here — contact slots are static
+        arrays, use `forces` or the contact observables instead.
+        """
         m = self.core.model
         lay = constraint_layout(m)
         cs = np.asarray(feet_contact_state(m, lay, self.fwd))

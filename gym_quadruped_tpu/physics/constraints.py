@@ -185,6 +185,8 @@ class Efc:
     cone_mu: Any      # (C, 5) friction of the cone slots (traced: may be randomized)
     cone_dim_mask: Any  # (C, 6) condim mask (traced so slots can be culled/gathered)
     cone_dist: Any    # (C,) contact distance of the cone slots (culling key)
+    cone_sel: Any = None  # (C,) int32 original cone-slot index of each block (for
+    #                   scattering forces back when assembly was pre-culled)
 
 
 def _point_jacobians(m: Model, kin: Kin, cdof: jnp.ndarray, pos: jnp.ndarray,
@@ -222,8 +224,44 @@ def runtime_con_mu(m: Model, geom_friction) -> jnp.ndarray:
                       fri3[:, 2], fri3[:, 2]], axis=1)
 
 
+@functools.lru_cache(maxsize=64)
+def _con_mask_table_cached(key) -> np.ndarray:
+    """(S, nv) static ancestor-dof masks for the robot body of each slot."""
+    lay: ConstraintLayout = _MODEL_CACHE[key][1]
+    m: Model = _MODEL_CACHE[key][0]
+    return np.stack([ancestor_dof_mask(m, int(b)) for b in lay.con_body])
+
+
+def con_mask_table(m: Model, lay: ConstraintLayout) -> np.ndarray:
+    key = (id(m), id(lay))
+    _MODEL_CACHE[key] = (m, lay)
+    return _con_mask_table_cached(key)
+
+
+def _point_jacobians_dyn(kin: Kin, cdof: jnp.ndarray, pos: jnp.ndarray,
+                         masks: jnp.ndarray):
+    """Point Jacobians for traced (gathered) points with traced dof masks."""
+    from gym_quadruped_tpu.physics.kinematics import spatial_origin
+
+    omega = cdof[:, :3]
+    v0 = cdof[:, 3:]
+    rel = pos - spatial_origin(kin)[None, :]
+    vp = v0[None] + jnp.cross(
+        jnp.broadcast_to(omega[None], (rel.shape[0],) + omega.shape),
+        rel[:, None, :])  # (k, nv, 3)
+    masks_j = masks[..., None]
+    jacp = jnp.swapaxes(vp * masks_j, 1, 2)
+    jacr = jnp.swapaxes(omega[None] * masks_j, 1, 2)
+    return jacp, jacr
+
+
 def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
-             contacts: Contacts, cdof: jnp.ndarray, con_mu=None) -> Efc:
+             contacts: Contacts, cdof: jnp.ndarray, con_mu=None,
+             max_cone: int | None = None) -> Efc:
+    """Assemble constraint rows. With `max_cone`, only the max_cone
+    nearest-by-distance cone slots get Jacobians and efc rows (contact culling
+    BEFORE assembly — measured at ~18 ms/step for all-slot assembly at B=4096;
+    exact whenever ≤ max_cone slots touch)."""
     dtype = qpos.dtype
     lay = constraint_layout(m)
     nv = m.nv
@@ -278,77 +316,108 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
 
     # ---- 3. contacts ------------------------------------------------------------------
     S = len(lay.con_condim)
-    C = len(lay.cone_slots)
-    if S:
-        jacp, jacr = _point_jacobians(m, kin, cdof, contacts.pos, lay.con_body)
-        # project onto contact frames: dirs (S, 6, nv) = rows (n,t1,t2, rn,rt1,rt2)
-        dirs_t = jnp.einsum('sij,sjv->siv', contacts.frame, jacp)
-        dirs_r = jnp.einsum('sij,sjv->siv', contacts.frame, jacr)
-        dirs = jnp.concatenate([dirs_t, dirs_r[:, [0, 1, 2]]], axis=1)  # (S,6,nv)
+    C_all = len(lay.cone_slots)
+    mask_table = con_mask_table(m, lay) if S else None
 
-        inv_t = jnp.asarray(m.body_invweight0[:, 0], dtype)[lay.con_body]
-        inv_r = jnp.asarray(m.body_invweight0[:, 1], dtype)[lay.con_body]
-        margin = jnp.asarray(lay.con_margin, dtype)
-        solref = jnp.asarray(lay.con_solref, dtype)
-        solimp = jnp.asarray(lay.con_solimp, dtype)
-        x = contacts.dist - margin
+    def slot_dirs_vel(pos, frame, masks):
+        """(k, 6, nv) contact-frame direction rows + (k, 6) velocities."""
+        jacp, jacr = _point_jacobians_dyn(kin, cdof, pos, masks)
+        dirs_t = jnp.einsum('sij,sjv->siv', frame, jacp)
+        dirs_r = jnp.einsum('sij,sjv->siv', frame, jacr)
+        dirs = jnp.concatenate([dirs_t, dirs_r], axis=1)
+        return dirs, jnp.einsum('sdv,v->sd', dirs, qvel)
+
+    inv_t_all = jnp.asarray(m.body_invweight0[lay.con_body, 0], dtype) \
+        if S else None
+    inv_r_all = jnp.asarray(m.body_invweight0[lay.con_body, 1], dtype) \
+        if S else None
+
+    # simple-row contacts (frictionless or pyramidal): static, usually few slots
+    ss = lay.simple_con_slots
+    if len(ss):
+        pos_s = contacts.pos[ss]
+        dirs, vel6 = slot_dirs_vel(pos_s, contacts.frame[ss],
+                                   jnp.asarray(mask_table[ss], dtype))
+        margin = jnp.asarray(lay.con_margin[ss], dtype)
+        solimp = jnp.asarray(lay.con_solimp[ss], dtype)
+        x = contacts.dist[ss] - margin
         imp = impedance(solimp, x)
-        K, B = kb(solref, solimp)
-        include = contacts.dist < margin
+        K, B = kb(jnp.asarray(lay.con_solref[ss], dtype), solimp)
+        include = contacts.dist[ss] < margin
         rimp = jnp.maximum(1.0 - imp, 1e-4) / imp
-        vel6 = jnp.einsum('sdv,v->sd', dirs, qvel)  # (S, 6)
         aref_n = -B * vel6[:, 0] - K * imp * x
+        inv_t = inv_t_all[ss]
+        inv_r = inv_r_all[ss]
 
-        # simple-row contacts (frictionless, or pyramidal model)
-        for s in lay.simple_con_slots:
+        for li, s in enumerate(ss):
             s = int(s)
             cd = int(lay.con_condim[s])
             if cd == 1:
-                J_rows.append(dirs[s, 0][None])
-                aref_rows.append(aref_n[s][None])
-                R_rows.append((rimp[s] * inv_t[s])[None])
-                act_rows.append(include[s][None])
+                J_rows.append(dirs[li, 0][None])
+                aref_rows.append(aref_n[li][None])
+                R_rows.append((rimp[li] * inv_t[li])[None])
+                act_rows.append(include[li][None])
                 fl_rows.append(jnp.zeros(1, dtype))
             else:
-                fri_inv = [inv_t[s], inv_t[s], inv_r[s], inv_r[s], inv_r[s]]
+                fri_inv = [inv_t[li], inv_t[li], inv_r[li], inv_r[li],
+                           inv_r[li]]
                 for i in range(cd - 1):
                     mu_i = con_mu[s, i]
-                    diag = 2.0 * (inv_t[s] + mu_i * mu_i * fri_inv[i])
+                    diag = 2.0 * (inv_t[li] + mu_i * mu_i * fri_inv[i])
                     for sgn in (1.0, -1.0):
-                        Jr = dirs[s, 0] + sgn * mu_i * dirs[s, 1 + i]
-                        vel = vel6[s, 0] + sgn * mu_i * vel6[s, 1 + i]
+                        Jr = dirs[li, 0] + sgn * mu_i * dirs[li, 1 + i]
+                        vel = vel6[li, 0] + sgn * mu_i * vel6[li, 1 + i]
                         J_rows.append(Jr[None])
-                        aref_rows.append((-B[s] * vel - K[s] * imp[s] * x[s])[None])
-                        R_rows.append((rimp[s] * diag)[None])
-                        act_rows.append(include[s][None])
+                        aref_rows.append(
+                            (-B[li] * vel - K[li] * imp[li] * x[li])[None])
+                        R_rows.append((rimp[li] * diag)[None])
+                        act_rows.append(include[li][None])
                         fl_rows.append(jnp.zeros(1, dtype))
 
-        # cone blocks (elliptic, condim>1) — vectorized
-        if C:
-            cs = lay.cone_slots
-            dim_mask = jnp.asarray(lay.cone_dim_mask, dtype)  # (C, 6)
-            mu = con_mu[cs]                                   # (C, 5)
-            mu0 = mu[:, 0]
-            con_J = dirs[cs] * dim_mask[:, :, None]
-            aref_f = -B[cs, None] * vel6[cs, 1:]  # friction rows: no K term
-            con_aref = jnp.concatenate([aref_n[cs][:, None], aref_f], axis=1) * dim_mask
-            # R: normal = rimp*inv_t; friction i = rimp*inv_t*(mu0/mu_i)^2/impratio
-            R_fric = (rimp[cs, None] * inv_t[cs, None] *
-                      (mu0[:, None] / jnp.maximum(mu, 1e-12)) ** 2 / m.impratio)
-            con_R = jnp.concatenate([(rimp[cs] * inv_t[cs])[:, None], R_fric], axis=1)
-            con_R = jnp.where(dim_mask > 0, con_R, 1.0)
-            con_active = include[cs]
-            cone_mu = mu
-            cone_dim_mask = dim_mask
-            cone_dist = contacts.dist[cs]
+    # cone blocks (elliptic, condim > 1): cull BEFORE assembly — Jacobians and
+    # rows are only built for the max_cone nearest slots
+    if C_all:
+        cs_np = lay.cone_slots
+        dist_c = contacts.dist[cs_np]                     # (C_all,)
+        if max_cone is not None and max_cone < C_all:
+            _, sel = jax.lax.top_k(-dist_c, max_cone)     # local cone indices
         else:
-            con_J = jnp.zeros((0, 6, nv), dtype)
-            con_aref = jnp.zeros((0, 6), dtype)
-            con_R = jnp.ones((0, 6), dtype)
-            con_active = jnp.zeros((0,), bool)
-            cone_mu = jnp.zeros((0, 5), dtype)
-            cone_dim_mask = jnp.zeros((0, 6), dtype)
-            cone_dist = jnp.zeros((0,), dtype)
+            sel = jnp.arange(C_all, dtype=jnp.int32)
+        g = jnp.take(jnp.asarray(cs_np), sel)             # global slot indices
+
+        pos_c = jnp.take(contacts.pos, g, axis=0)
+        frame_c = jnp.take(contacts.frame, g, axis=0)
+        masks_c = jnp.take(jnp.asarray(mask_table, dtype), g, axis=0)
+        dirs_c, vel6_c = slot_dirs_vel(pos_c, frame_c, masks_c)
+
+        dist_sel = jnp.take(dist_c, sel)
+        margin_c = jnp.take(jnp.asarray(lay.con_margin, dtype), g)
+        solimp_c = jnp.take(jnp.asarray(lay.con_solimp, dtype), g, axis=0)
+        solref_c = jnp.take(jnp.asarray(lay.con_solref, dtype), g, axis=0)
+        x_c = dist_sel - margin_c
+        imp_c = impedance(solimp_c, x_c)
+        K_c, B_c = kb(solref_c, solimp_c)
+        include_c = dist_sel < margin_c
+        rimp_c = jnp.maximum(1.0 - imp_c, 1e-4) / imp_c
+        aref_nc = -B_c * vel6_c[:, 0] - K_c * imp_c * x_c
+        inv_tc = jnp.take(inv_t_all, g)
+
+        dim_mask = jnp.take(jnp.asarray(lay.cone_dim_mask, dtype), sel, axis=0)
+        mu = jnp.take(con_mu, g, axis=0)                  # (K, 5)
+        mu0 = mu[:, 0]
+        con_J = dirs_c * dim_mask[:, :, None]
+        aref_f = -B_c[:, None] * vel6_c[:, 1:]            # friction: no K term
+        con_aref = jnp.concatenate([aref_nc[:, None], aref_f], axis=1) * dim_mask
+        # R: normal = rimp·inv_t; friction i = rimp·inv_t·(μ₀/μᵢ)²/impratio
+        R_fric = (rimp_c[:, None] * inv_tc[:, None] *
+                  (mu0[:, None] / jnp.maximum(mu, 1e-12)) ** 2 / m.impratio)
+        con_R = jnp.concatenate([(rimp_c * inv_tc)[:, None], R_fric], axis=1)
+        con_R = jnp.where(dim_mask > 0, con_R, 1.0)
+        con_active = include_c
+        cone_mu = mu
+        cone_dim_mask = dim_mask
+        cone_dist = dist_sel
+        cone_sel = sel.astype(jnp.int32)
     else:
         con_J = jnp.zeros((0, 6, nv), dtype)
         con_aref = jnp.zeros((0, 6), dtype)
@@ -357,6 +426,7 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
         cone_mu = jnp.zeros((0, 5), dtype)
         cone_dim_mask = jnp.zeros((0, 6), dtype)
         cone_dist = jnp.zeros((0,), dtype)
+        cone_sel = jnp.zeros((0,), jnp.int32)
 
     if J_rows:
         J = jnp.concatenate(J_rows)
@@ -371,7 +441,8 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     assert J.shape[0] == lay.n_simple, (J.shape, lay.n_simple)
     return Efc(J=J, aref=aref, R=R, active=active, frictionloss=fl,
                con_J=con_J, con_aref=con_aref, con_R=con_R, con_active=con_active,
-               cone_mu=cone_mu, cone_dim_mask=cone_dim_mask, cone_dist=cone_dist)
+               cone_mu=cone_mu, cone_dim_mask=cone_dim_mask, cone_dist=cone_dist,
+               cone_sel=cone_sel)
 
 
 def cull_cone_slots(efc: Efc, k: int):
@@ -397,4 +468,5 @@ def cull_cone_slots(efc: Efc, k: int):
                con_J=take(efc.con_J), con_aref=take(efc.con_aref),
                con_R=take(efc.con_R), con_active=take(efc.con_active),
                cone_mu=take(efc.cone_mu), cone_dim_mask=take(efc.cone_dim_mask),
-               cone_dist=take(efc.cone_dist)), sel
+               cone_dist=take(efc.cone_dist),
+               cone_sel=take(efc.cone_sel)), sel

@@ -54,9 +54,12 @@ class Forward:
     qfrc_constraint: Any  # (nv,)
 
 
-def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None):
+def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None,
+               max_cone=None):
     """Everything before the constraint solve (one env)."""
     dtype = qpos.dtype
+    if max_cone is None:
+        max_cone = MAX_CONE_CONTACTS
     if qfrc_applied is None:
         qfrc_applied = jnp.zeros(m.nv, dtype)
 
@@ -71,7 +74,8 @@ def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None):
     qacc_smooth = spd_solve(M, qfrc_smooth)
 
     contacts = collide(m, kin)
-    efc = make_efc(m, kin, qpos, qvel, contacts, cdof, con_mu=con_mu)
+    efc = make_efc(m, kin, qpos, qvel, contacts, cdof, con_mu=con_mu,
+                   max_cone=max_cone)
     return (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth,
             contacts, efc)
 
@@ -88,15 +92,14 @@ def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
             warmstart=None, solver_iterations: int = 10, con_mu=None,
             max_contacts: int = MAX_CONE_CONTACTS) -> Forward:
     (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth, contacts,
-     efc) = _pre_solve(m, qpos, qvel, ctrl, qfrc_applied, con_mu)
+     efc) = _pre_solve(m, qpos, qvel, ctrl, qfrc_applied, con_mu, max_contacts)
     lay = constraint_layout(m)
-    efc_solve, sel = cull_cone_slots(efc, max_contacts)
     qacc, f_simple, f_cone, qfrc_constraint = solve(
-        m, lay, M, qacc_smooth, efc_solve,
+        m, lay, M, qacc_smooth, efc,
         warmstart=warmstart, iterations=solver_iterations)
-    if sel is not None:  # scatter the culled forces back to the full slot axis
-        C = efc.con_J.shape[0]
-        f_cone = jnp.zeros((C, 6), f_cone.dtype).at[sel].set(f_cone)
+    C_all = len(lay.cone_slots)
+    if f_cone.shape[0] < C_all:  # scatter culled forces to the full slot axis
+        f_cone = jnp.zeros((C_all, 6), f_cone.dtype).at[efc.cone_sel].set(f_cone)
 
     return Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,
                    qfrc_actuator=act, qfrc_smooth=qfrc_smooth,
@@ -176,17 +179,13 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
      efc) = pre
 
     lay = constraint_layout(m)
-    C = efc.con_J.shape[1]
-    if C > MAX_CONE_CONTACTS:
-        efc_solve, sel = jax.vmap(
-            lambda e: cull_cone_slots(e, MAX_CONE_CONTACTS))(efc)
-    else:
-        efc_solve, sel = efc, None
     qacc, f_simple, f_cone, qfrc_constraint = newton_bt.solve_batched_bt(
-        m, lay, M, qacc_smooth, efc_solve, iterations=solver_iterations)
-    if sel is not None:
-        f_cone = jax.vmap(lambda s, f: jnp.zeros((C, 6), f.dtype).at[s].set(f))(
-            sel, f_cone)
+        m, lay, M, qacc_smooth, efc, iterations=solver_iterations)
+    C_all = len(lay.cone_slots)
+    if f_cone.shape[1] < C_all:
+        f_cone = jax.vmap(
+            lambda s, f: jnp.zeros((C_all, 6), f.dtype).at[s].set(f))(
+                efc.cone_sel, f_cone)
 
     fwd = Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,
                   qfrc_actuator=act, qfrc_smooth=qfrc_smooth,
