@@ -275,6 +275,55 @@ class QuadrupedGymEnv(_GYM_BASE):
         w = np.asarray(self._state.qvel[3:6])
         return w if frame == 'base' else self._base_RT()[0] @ w
 
+    def target_base_vel(self, frame='world'):
+        """Commanded base linear/angular velocity (reference target_base_vel,
+        quadruped_env.py:488)."""
+        from gym_quadruped_tpu.env.observables import target_base_vel
+
+        s = self._state
+        lin, ang = target_base_vel(s.qpos, s.ref_base_lin_vel_H,
+                                   s.ref_base_ang_yaw_dot)
+        lin, ang = np.asarray(lin), np.asarray(ang)
+        if frame == 'base':
+            R = self._base_RT()[0]
+            return R.T @ lin, R.T @ ang
+        return lin, ang
+
+    def base_lin_vel_err(self, frame='world'):
+        """Commanded-minus-actual base linear velocity (quadruped_env.py:511)."""
+        return self.target_base_vel(frame)[0] - self.base_lin_vel(frame)
+
+    def base_ang_vel_err(self, frame='world'):
+        """Commanded-minus-actual base angular velocity (quadruped_env.py:517)."""
+        return self.target_base_vel(frame)[1] - self.base_ang_vel(frame)
+
+    def base_lin_acc(self, frame='world'):
+        """Base linear acceleration of the last solve (quadruped_env.py:533)."""
+        a = np.asarray(self._state.qacc[0:3])
+        return a if frame == 'world' else self._base_RT()[0].T @ a
+
+    @property
+    def torque_ctrl_setpoint(self) -> np.ndarray:
+        """Last commanded actuator torques (quadruped_env.py:999)."""
+        return np.asarray(self._state.ctrl)
+
+    @property
+    def robot_model(self):
+        """The compiled array model (reference exposes mjModel, :1028)."""
+        return self.core.model
+
+    @property
+    def obs_group_reps(self):
+        """Group representations of each observable (quadruped_env.py:1038);
+        requires the optional morpho_symm extra."""
+        from gym_quadruped_tpu.utils.symmetry import (
+            configure_observation_space_representations,
+        )
+
+        return configure_observation_space_representations(
+            robot_name=self.core.robot_name,
+            obs_names=self.core.state_obs_names)
+
     @property
     def base_configuration(self) -> np.ndarray:
         R, t = self._base_RT()

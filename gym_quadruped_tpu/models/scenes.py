@@ -36,9 +36,27 @@ def _vec(v) -> str:
 
 def _base_scene(name: str) -> tuple[ET.ElementTree, ET.Element, ET.Element]:
     root = ET.Element('mujoco', {'model': f'scene_{name}'})
+    # lighting for the viewer / offscreen RGB camera (scene_flat.xml:4,31);
+    # invisible to physics and to the compiled array model
+    visual = ET.SubElement(root, 'visual')
+    ET.SubElement(visual, 'headlight', {'diffuse': '0.4 0.4 0.4',
+                                        'ambient': '0.25 0.25 0.25',
+                                        'specular': '0.25 0.25 0.25'})
     asset = ET.SubElement(root, 'asset')
+    ET.SubElement(asset, 'texture', {
+        'name': 'groundplane', 'type': '2d', 'builtin': 'checker',
+        'rgb1': '0.2 0.3 0.4', 'rgb2': '0.1 0.2 0.3',
+        'width': '300', 'height': '300', 'mark': 'edge',
+        'markrgb': '0.8 0.8 0.8'})
+    ET.SubElement(asset, 'material', {
+        'name': 'groundplane', 'texture': 'groundplane', 'texuniform': 'true',
+        'texrepeat': '5 5', 'reflectance': '0.05'})
     worldbody = ET.SubElement(root, 'worldbody')
-    ET.SubElement(worldbody, 'geom', {'name': 'floor', 'size': '0 0 0.05', 'type': 'plane'})
+    ET.SubElement(worldbody, 'light', {'pos': '0 0 5.0', 'dir': '0 0 -1',
+                                       'directional': 'true'})
+    ET.SubElement(worldbody, 'geom', {'name': 'floor', 'size': '0 0 0.05',
+                                      'type': 'plane',
+                                      'material': 'groundplane'})
     return ET.ElementTree(root), asset, worldbody
 
 

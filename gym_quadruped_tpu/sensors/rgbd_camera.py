@@ -138,6 +138,59 @@ class Camera(Sensor):
         """Convenience: FK + render from a bare qpos (manual driving)."""
         return self.render(fk(self.model, qpos))
 
+    # ----------------------------------------------- host-side RGB + export
+
+    def image(self, qpos) -> np.ndarray:
+        """RGB render (reference rgbd_camera.py:176). Depth/seg/point-cloud are
+        the on-device ray-cast path above; full-visual RGB goes through a
+        host-side CPU-MuJoCo offscreen renderer mirroring the device state
+        (display-only, same design as QuadrupedGymEnv.render). Requires a GL
+        backend (EGL/OSMesa) — raises RuntimeError with guidance if absent."""
+        import mujoco
+
+        from gym_quadruped_tpu.models.builder import build_mj_model
+
+        if not hasattr(self, '_vis'):
+            mj, _ = build_mj_model(self.model.robot, self.model.scene,
+                                   float(self.model.timestep))
+            try:
+                renderer = mujoco.Renderer(mj, height=self._height,
+                                           width=self._width)
+            except Exception as e:  # headless box without EGL/OSMesa
+                raise RuntimeError(
+                    'RGB rendering needs an OpenGL backend; set MUJOCO_GL=egl '
+                    'or MUJOCO_GL=osmesa (depth/seg/point_cloud do not — they '
+                    f'ray-cast on device). Underlying error: {e}') from e
+            self._vis = (mj, mujoco.MjData(mj), renderer)
+        mj, d, renderer = self._vis
+        d.qpos[:] = np.asarray(qpos)
+        mujoco.mj_forward(mj, d)
+        renderer.update_scene(d, camera=self.model.cam_names[self._cam_id])
+        return renderer.render()
+
+    def save(self, out_dir, qpos, rgb: bool = False):
+        """Dump depth (.npy + .png), seg (.npy), point cloud (.npy) and
+        optionally RGB (.png) to a timestamped directory (reference
+        rgbd_camera.py:290)."""
+        import time as _time
+        from pathlib import Path
+
+        from PIL import Image
+
+        out = Path(out_dir) / _time.strftime('%Y%m%d_%H%M%S')
+        out.mkdir(parents=True, exist_ok=True)
+        depth_e, _, seg, pc = (np.asarray(x) for x in self.shoot(qpos))
+        np.save(out / 'depth.npy', depth_e)
+        np.save(out / 'seg.npy', seg)
+        np.save(out / 'points.npy', pc)
+        lo, hi = float(depth_e.min()), float(depth_e.max())
+        norm = (depth_e - lo) / (hi - lo) if hi > lo else depth_e * 0
+        Image.fromarray((255 * (1 - norm)).astype(np.uint8)).save(
+            out / 'depth.png')
+        if rgb:
+            Image.fromarray(self.image(qpos)).save(out / 'rgb.png')
+        return out
+
     # ------------------------------------------------------ sensor protocol
 
     def available_observations(self):

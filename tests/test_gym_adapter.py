@@ -70,3 +70,42 @@ def test_accessors_match_mujoco(env):
     np.testing.assert_allclose(bias.FL, d.qfrc_bias[idx], atol=1e-7)
     np.testing.assert_allclose(env.com, d.subtree_com[0], atol=1e-9)
     assert abs(env.kinetic_energy - 0.5 * d.qvel @ M @ d.qvel) < 1e-7
+
+
+def test_velocity_command_accessors_and_camera_export(tmp_path):
+    """target_base_vel / *_err / base_lin_acc / torque_ctrl_setpoint
+    (reference quadruped_env.py:488-541,999) + camera save()."""
+    import jax.numpy as jnp
+
+    from gym_quadruped_tpu.env.gym_adapter import QuadrupedGymEnv
+    from gym_quadruped_tpu.sensors.rgbd_camera import Camera
+
+    env = QuadrupedGymEnv(robot='aliengo', scene='flat', sim_dt=0.002,
+                          base_vel_command_type='forward',
+                          ref_base_lin_vel=0.7)
+    env.reset(seed=1)
+    env.step(np.full(12, 0.5))
+
+    lin_w, ang_w = env.target_base_vel('world')
+    # forward command: |v| = 0.7, purely horizontal, heading-aligned
+    np.testing.assert_allclose(np.linalg.norm(lin_w), 0.7, atol=1e-6)
+    assert abs(lin_w[2]) < 1e-9 and np.allclose(ang_w, 0.0)
+    lin_b, _ = env.target_base_vel('base')
+    np.testing.assert_allclose(np.linalg.norm(lin_b), 0.7, atol=1e-6)
+
+    np.testing.assert_allclose(env.base_lin_vel_err('world'),
+                               lin_w - env.base_lin_vel('world'), atol=1e-9)
+    np.testing.assert_allclose(env.base_ang_vel_err('world'),
+                               ang_w - env.base_ang_vel('world'), atol=1e-9)
+    assert env.base_lin_acc('world').shape == (3,)
+    np.testing.assert_allclose(env.torque_ctrl_setpoint, np.full(12, 0.5),
+                               atol=1e-9)
+    assert env.robot_model is env.core.model
+    assert env.qpos.shape == (env.core.model.nq,)
+    assert env.qvel.shape == (env.core.model.nv,)
+
+    cam = Camera(env.robot_model, width=16, height=16, cam_name='robotcam')
+    out = cam.save(tmp_path, jnp.asarray(env.qpos))
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ['depth.npy', 'depth.png', 'points.npy', 'seg.npy']
+    assert np.load(out / 'depth.npy').shape == (16, 16)
