@@ -52,21 +52,29 @@ CONST_OVERRIDE: dict = {}
 # tiny (nv≈18), so the VPU reduction form costs the same as the dot.
 SUM_FORM = False
 
+# All dot_general-lowered products in the solver pin HIGHEST precision: the TPU
+# default is bf16 MXU passes, which NaN the Newton solve (measured — a user
+# running without jax_default_matmul_precision='highest' would crash). The
+# solver is not MXU-bound, so this costs nothing.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def _mv(A, x):
     """(r, c) @ (c,) matvec."""
-    return jnp.sum(A * x, axis=-1) if SUM_FORM else A @ x
+    return jnp.sum(A * x, axis=-1) if SUM_FORM else \
+        jnp.matmul(A, x, precision=_PREC)
 
 
 def _mtv(A, y):
     """Aᵀ y for A (r, c), y (r,)."""
-    return jnp.sum(A * y[:, None], axis=0) if SUM_FORM else A.T @ y
+    return jnp.sum(A * y[:, None], axis=0) if SUM_FORM else \
+        jnp.matmul(A.T, y, precision=_PREC)
 
 
 def _cmv(cJ, x):
     """(C, 6, v) @ (v,) → (C, 6)."""
     return jnp.sum(cJ * x, axis=-1) if SUM_FORM else \
-        jnp.einsum('cdv,v->cd', cJ, x)
+        jnp.einsum('cdv,v->cd', cJ, x, precision=_PREC)
 
 
 def _cmtv(cJ, f):
@@ -77,7 +85,7 @@ def _cmtv(cJ, f):
         # relayout ("non-singleton logical dimension is replicated")
         return jnp.stack([jnp.sum(cJ[:, :, v] * f)
                           for v in range(cJ.shape[2])])
-    return jnp.einsum('cdv,cd->v', cJ, f)
+    return jnp.einsum('cdv,cd->v', cJ, f, precision=_PREC)
 
 
 def _jtwj(J, w):
@@ -86,11 +94,17 @@ def _jtwj(J, w):
         # single-axis expands only: Mosaic rejects multi-1 reshapes (… → …,1,1)
         aw = jnp.expand_dims(w, 1) * J                         # (r, v)
         return jnp.sum(jnp.expand_dims(aw, 2) * jnp.expand_dims(J, 1), axis=0)
-    return J.T @ (w[:, None] * J)
+    return jnp.matmul(J.T, w[:, None] * J, precision=_PREC)
 
 
 def _cone_quad(cJ, Cb):
-    """Σ_c cJ_cᵀ Cb_c cJ_c for cJ (C, 6, v), Cb (C, 6, 6) → (v, v)."""
+    """Σ_c cJ_cᵀ Cb_c cJ_c for cJ (C, 6, v), Cb (C, 6, 6) → (v, v).
+
+    NOT a single 3-operand einsum: XLA's path for 'cdv,cde,cew->vw' under a
+    4096-env vmap materializes a (B, C, 6, v, v) ≈ 1.6 GB intermediate and the
+    step becomes HBM-bound (measured 68 of 104 ms/step). The unrolled Cb·J
+    (6 fused multiply-adds, no big buffer) followed by ONE flat batched GEMM
+    over the C·6 = 192 contraction rows is ~20× cheaper."""
     if SUM_FORM:
         # mixed int+None indexing lowers through gather and multi-1 reshapes
         # fail in Mosaic: use basic slicing + single-axis expand_dims only
@@ -101,7 +115,11 @@ def _cone_quad(cJ, Cb):
             cj_d = jnp.expand_dims(cJ[:, d], 2)             # (C, v, 1)
             H = H + jnp.sum(cj_d * jnp.expand_dims(t_d, 1), axis=0)
         return H
-    return jnp.einsum('cdv,cde,cew->vw', cJ, Cb, cJ)
+    C, _, v = cJ.shape
+    # t[c, d, :] = Σ_e Cb[c, d, e] · cJ[c, e, :]
+    t = sum(Cb[:, :, e, None] * cJ[:, None, e, :] for e in range(6))
+    return jnp.matmul(cJ.reshape(C * 6, v).T, t.reshape(C * 6, v),
+                      precision=_PREC)
 
 
 def _dot(a, b):
@@ -194,20 +212,21 @@ def cone_hessian_analytic(u, D, mu, dim_mask):
     Ws = W / jnp.maximum(s, 1e-30)
 
     Df = D[:, 1:] * dim_mask[:, 1:]                    # (C, 5)
-    H = jnp.zeros((C, 6, 6), dtype)
-    # row 0 (normal)
-    H = H.at[:, 0, 0].set(Dn * (1.0 - alpha))
-    H = H.at[:, 0, 1:].set(-jnp.expand_dims(Dn, 1) * beta)
-    # col 0 (d fᵢ / dN)
-    H = H.at[:, 1:, 0].set(-Df * uf * jnp.expand_dims(
-        alpha / jnp.maximum(s, 1e-30), 1))
-    # friction block
+    # assemble by concatenation, not .at[].set — batched scatters cost ~14
+    # ms/step at B=4096 on TPU; concat lowers to plain copies
+    row0 = jnp.concatenate([
+        jnp.expand_dims(Dn * (1.0 - alpha), 1),        # (C, 1)
+        -jnp.expand_dims(Dn, 1) * beta,                # (C, 5)
+    ], axis=1)                                         # (C, 6)
+    col0 = -Df * uf * jnp.expand_dims(
+        alpha / jnp.maximum(s, 1e-30), 1)              # (C, 5)
     diag = Df * jnp.expand_dims(1.0 - Ws, 1)           # (C, 5)
     outer = (jnp.expand_dims(Df * uf, 2) *
              jnp.expand_dims(beta - jnp.expand_dims(Ws, 1) * gamma, 1) /
              jnp.expand_dims(jnp.expand_dims(jnp.maximum(s, 1e-30), 1), 2))
     ff = jnp.expand_dims(diag, 2) * jnp.eye(5, dtype=dtype)[None] - outer
-    H = H.at[:, 1:, 1:].set(ff)
+    bottom = jnp.concatenate([jnp.expand_dims(col0, 2), ff], axis=2)  # (C,5,6)
+    H = jnp.concatenate([jnp.expand_dims(row0, 1), bottom], axis=1)   # (C,6,6)
 
     # zone selection
     top = N >= mu0 * T                                  # f = 0 → H = 0
@@ -278,7 +297,10 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         cw = simple_hess_weight(us, D_s, fl, unilateral)
         H = M + _jtwj(efc.J, cw)
         if C:
-            Cb = cone_hessian(uc, D_c, mu, dim_mask)
+            # closed form, not jacfwd: the forward-mode transpose of the
+            # block force costs ~15 ms/step at B=4096 (parity verified to
+            # 3e-16 in tests/test_solver_internals.py)
+            Cb = cone_hessian_analytic(uc, D_c, mu, dim_mask)
             H = H + _cone_quad(efc.con_J, Cb)
         trace_M = sum(M[i, i] for i in range(nv))  # static-index diagonal sum
         H = H + 1e-10 * trace_M / nv * jnp.eye(nv, dtype=dtype)
