@@ -37,6 +37,9 @@ INTERPRET = False
 # numerically in interpreter mode at any C (tests/test_newton_bt.py). Gated off
 # until the compiler issue is understood; see docs/PERF_NOTES.md.
 ENABLE = False
+# XLA fallback flavor when the Pallas kernel is off: 'vmap' (production) or
+# 'bt' (batch-trailing solve_batched — slower on v5e, kept for study)
+XLA_FALLBACK = 'vmap'
 _SUB, _LANES = 8, 128
 _CHUNK = _SUB * _LANES
 _LS_GRID = [float(x) for x in np.geomspace(1e-3, 64.0, 14)]
@@ -419,6 +422,14 @@ def solve_batched_bt(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
     use_kernel = (((on_tpu and ENABLE) or INTERPRET)
                   and a_smooth.dtype == jnp.float32 and ns > 0 and C > 0)
     if not use_kernel:
+        if XLA_FALLBACK == 'bt':
+            # batch-trailing XLA solver (physics/solver.py solve_batched):
+            # same math, env axis minor. Measured SLOWER than the vmapped
+            # solver on v5e (130 vs 61 ms/step at B=4096) — the contractions
+            # pay relayouts that outweigh the elementwise layout win. Kept for
+            # study; 'vmap' is the production path.
+            return _solver.solve_batched(m, lay, M, a_smooth, efc,
+                                         iterations=iterations)
         return jax.vmap(lambda Mi, ai, ei: _solver.solve(
             m, lay, Mi, ai, ei, iterations=iterations))(M, a_smooth, efc)
 

@@ -241,6 +241,72 @@ def cone_hessian_analytic(u, D, mu, dim_mask):
     return jnp.where(top_e, zero, jnp.where(bot_e, Hb, Hm))
 
 
+
+
+def cone_hessian_rows(u, D, mu, dim_mask):
+    """The analytic block curvature as SIX (C, 6) row tensors H[:, d, :]
+    instead of one (C, 6, 6) array: never materializing the rank-4 batched
+    (B, C, 6, 6) tensor saves ~10 ms/step at B=4096 (XLA's layout for the
+    (6, 6) minor pair is pathological). Same values as cone_hessian_analytic
+    (tests/test_solver_internals.py)."""
+    dtype = u.dtype
+    mu0 = mu[:, 0]
+    N = u[:, 0]
+    uf = u[:, 1:] * dim_mask[:, 1:]
+    Dn = D[:, 0]
+    Dt = D[:, 1]
+    rho = mu0 * mu0 / jnp.maximum(Dt, 1e-30)
+    T = jnp.sqrt(jnp.maximum(
+        jnp.sum((uf * mu[:, :5] / jnp.expand_dims(mu0, 1)) ** 2, axis=1),
+        1e-30))
+    s = mu0 * T
+    s_safe = jnp.maximum(s, 1e-30)
+    alpha = rho * Dn / (1.0 + rho * Dn)
+    W = (s + rho * Dn * N) / (1.0 + rho * Dn)
+    gamma = (mu[:, :5] ** 2) * uf / s_safe[:, None]
+    beta = gamma / (1.0 + rho * Dn)[:, None]
+    Ws = W / s_safe
+    Df = D[:, 1:] * dim_mask[:, 1:]
+
+    col0 = -Df * uf * (alpha / s_safe)[:, None]            # (C, 5)
+    diag = Df * (1.0 - Ws)[:, None]                        # (C, 5)
+    right = (beta - Ws[:, None] * gamma) / s_safe[:, None]  # (C, 5)
+    Dfuf = Df * uf
+
+    top = (N >= mu0 * T)[:, None]
+    bot = (W <= 0.0)[:, None]
+    zero6 = jnp.zeros_like(u)
+    eye6 = np.eye(6, dtype=np.float64)
+
+    rows = []
+    for d in range(6):
+        if d == 0:
+            row = jnp.concatenate([
+                jnp.expand_dims(Dn * (1.0 - alpha), 1),
+                -jnp.expand_dims(Dn, 1) * beta,
+            ], axis=1)
+        else:
+            ff_row = (jnp.asarray(eye6[d, 1:], dtype) * diag[:, d - 1:d]
+                      - Dfuf[:, d - 1:d] * right)
+            row = jnp.concatenate([col0[:, d - 1:d], ff_row], axis=1)
+        row = row * dim_mask[:, d:d + 1] * dim_mask        # zone: middle
+        row_b = jnp.asarray(eye6[d], dtype) * (D * dim_mask) \
+            * dim_mask[:, d:d + 1]                         # zone: bottom
+        rows.append(jnp.where(top, zero6, jnp.where(bot, row_b, row)))
+    return tuple(rows)
+
+
+def _cone_quad_rows(cJ, rows):
+    """Sigma_c J_c^T Cb_c J_c with Cb given as 6 row tensors (cone_hessian_rows).
+    Same contraction order as _cone_quad (unrolled Cb.J + one flat GEMM)."""
+    C, _, v = cJ.shape
+    t = jnp.stack([
+        sum(rows[d][:, e, None] * cJ[:, e] for e in range(6))
+        for d in range(6)], axis=1)                        # (C, 6, v)
+    return jnp.matmul(cJ.reshape(C * 6, v).T, t.reshape(C * 6, v),
+                      precision=_PREC)
+
+
 # ---------------------------------------------------------------------------------
 # Newton solve
 # ---------------------------------------------------------------------------------
@@ -297,11 +363,11 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         cw = simple_hess_weight(us, D_s, fl, unilateral)
         H = M + _jtwj(efc.J, cw)
         if C:
-            # closed form, not jacfwd: the forward-mode transpose of the
-            # block force costs ~15 ms/step at B=4096 (parity verified to
-            # 3e-16 in tests/test_solver_internals.py)
-            Cb = cone_hessian_analytic(uc, D_c, mu, dim_mask)
-            H = H + _cone_quad(efc.con_J, Cb)
+            # closed form, not jacfwd (jacfwd costs ~15 ms/step at B=4096),
+            # as row tensors, not a rank-4 (B, C, 6, 6) array (another ~10
+            # ms/step) — parity in tests/test_solver_internals.py
+            rows = cone_hessian_rows(uc, D_c, mu, dim_mask)
+            H = H + _cone_quad_rows(efc.con_J, rows)
         trace_M = sum(M[i, i] for i in range(nv))  # static-index diagonal sum
         H = H + 1e-10 * trace_M / nv * jnp.eye(nv, dtype=dtype)
         p = -spd_solve(H, g)
@@ -369,3 +435,212 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
     if C:
         qfrc = qfrc + _cmtv(efc.con_J, fc)
     return a, fs, fc, qfrc
+
+
+# ---------------------------------------------------------------------------------
+# Batch-trailing solve (B = env axis minor)
+#
+# TPU/XLA stores an array's minor TWO dims tile-padded to (8, 128). The vmapped
+# per-env solve works on (B, C, 6, nv)/(B, C, 6)/(B, C, 6, 6) tensors whose minor
+# dims are tiny: (6, 18)→(8, 128) is ~9× HBM bloat, (C, 6) and (6, 6) are 21×+ —
+# every elementwise op in the force/Hessian laws and every read of the cone
+# Jacobian pays it (measured ~40 of 61 ms/step at B=4096). Here the SAME math is
+# laid out with the batch axis minor — (C, 6, nv, B), (C, 6, B) — so the padding
+# is ≤4/3× and contractions lower as leading-axis reductions or dot_generals with
+# a trailing batch dim.
+# ---------------------------------------------------------------------------------
+
+def cone_force_bt(u, D, mu, dim_mask):
+    """Elliptic cone forces, batch-trailing: u, D, dim_mask (C, 6, B), mu
+    (C, 5, B) → (C, 6, B). Same formulas as _cone_force_block."""
+    mu0 = mu[:, 0]                                        # (C, B)
+    N = u[:, 0]
+    uf = u[:, 1:] * dim_mask[:, 1:]                       # (C, 5, B)
+    Dn = D[:, 0]
+    Dt = D[:, 1]
+    rho = mu0 * mu0 / jnp.maximum(Dt, 1e-30)
+    T = jnp.sqrt(jnp.maximum(
+        jnp.sum((uf * mu / mu0[:, None]) ** 2, axis=1), 1e-30))     # (C, B)
+    w = (mu0 * T + rho * Dn * N) / (1.0 + rho * Dn)
+    f_bottom = -D * u * dim_mask
+    fn_mid = Dn * (w - N)
+    ff_mid = -D[:, 1:] * uf * (1.0 - (w / jnp.maximum(mu0 * T, 1e-30))[:, None])
+    f_mid = jnp.concatenate([fn_mid[:, None], ff_mid], axis=1) * dim_mask
+    zero = jnp.zeros_like(u)
+    top = (N >= mu0 * T)[:, None]
+    bot = (w <= 0.0)[:, None]
+    return jnp.where(top, zero, jnp.where(bot, f_bottom, f_mid))
+
+
+def cone_hessian_analytic_bt(u, D, mu, dim_mask):
+    """Closed-form block curvature, batch-trailing: (C, 6, B) inputs →
+    (C, 6, 6, B). Same formulas as cone_hessian_analytic."""
+    dtype = u.dtype
+    mu0 = mu[:, 0]                                        # (C, B)
+    N = u[:, 0]
+    uf = u[:, 1:] * dim_mask[:, 1:]                       # (C, 5, B)
+    Dn = D[:, 0]
+    Dt = D[:, 1]
+    rho = mu0 * mu0 / jnp.maximum(Dt, 1e-30)
+    T = jnp.sqrt(jnp.maximum(
+        jnp.sum((uf * mu / mu0[:, None]) ** 2, axis=1), 1e-30))
+    s = mu0 * T
+    s_safe = jnp.maximum(s, 1e-30)
+    alpha = rho * Dn / (1.0 + rho * Dn)
+    W = (s + rho * Dn * N) / (1.0 + rho * Dn)
+    gamma = (mu ** 2) * uf / s_safe[:, None]              # (C, 5, B)
+    beta = gamma / (1.0 + rho * Dn)[:, None]
+    Ws = W / s_safe
+
+    Df = D[:, 1:] * dim_mask[:, 1:]                       # (C, 5, B)
+    row0 = jnp.concatenate([
+        (Dn * (1.0 - alpha))[:, None],
+        -Dn[:, None] * beta,
+    ], axis=1)                                            # (C, 6, B)
+    col0 = -Df * uf * (alpha / s_safe)[:, None]           # (C, 5, B)
+    diag = Df * (1.0 - Ws)[:, None]                       # (C, 5, B)
+    outer = (Df * uf)[:, :, None] * \
+        (beta - Ws[:, None] * gamma)[:, None, :] / s_safe[:, None, None]
+    eye5 = jnp.eye(5, dtype=dtype)[None, :, :, None]
+    ff = diag[:, :, None] * eye5 - outer                  # (C, 5, 5, B)
+    bottom = jnp.concatenate([col0[:, :, None], ff], axis=2)      # (C, 5, 6, B)
+    H = jnp.concatenate([row0[:, None], bottom], axis=1)          # (C, 6, 6, B)
+
+    top = (N >= mu0 * T)[:, None, None]
+    bot = (W <= 0.0)[:, None, None]
+    Hm = H * dim_mask[:, None, :, :] * dim_mask[:, :, None, :]
+    Hb = (jnp.eye(6, dtype=dtype)[None, :, :, None] *
+          (D * dim_mask)[:, None] * dim_mask[:, :, None, :])
+    return jnp.where(top, jnp.zeros_like(Hm), jnp.where(bot, Hb, Hm))
+
+
+def solve_batched(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
+                  iterations: int = 10, ls_iterations: int = 6):
+    """Batched Newton solve, numerically identical to vmap(solve) (same force
+    laws, same linesearch; verified in tests/test_solver_internals.py) but laid
+    out batch-trailing internally. In/outputs are batch-leading:
+    M (B, nv, nv), a_smooth (B, nv), efc batched → (qacc, f_simple, f_cone,
+    qfrc_constraint) batch-leading."""
+    dtype = a_smooth.dtype
+    B, nv = a_smooth.shape
+    ns = efc.J.shape[1]
+    C = efc.con_J.shape[1]
+    if ns == 0 and C == 0:
+        return (a_smooth, jnp.zeros((B, 0), dtype), jnp.zeros((B, 0, 6), dtype),
+                jnp.zeros((B, nv), dtype))
+
+    # --- one-time transposes to batch-trailing -----------------------------
+    Jb = jnp.transpose(efc.J, (1, 2, 0))                  # (ns, nv, B)
+    arefb = efc.aref.T                                    # (ns, B)
+    flb = efc.frictionloss.T
+    actb = efc.active.T.astype(dtype)
+    unilateral = (flb <= 0).astype(dtype)
+    D_s = actb * (1.0 / efc.R.T)
+    if C:
+        cJb = jnp.transpose(efc.con_J, (1, 2, 3, 0))      # (C, 6, nv, B)
+        carefb = jnp.transpose(efc.con_aref, (1, 2, 0))   # (C, 6, B)
+        dmb = jnp.transpose(efc.cone_dim_mask, (1, 2, 0))
+        cmub = jnp.transpose(efc.cone_mu, (1, 2, 0))      # (C, 5, B)
+        cactb = efc.con_active.T.astype(dtype)            # (C, B)
+        D_c = cactb[:, None] * jnp.transpose(1.0 / efc.con_R, (1, 2, 0)) * dmb
+        cJx = cJb.reshape(C * 6, nv, B)                   # view, contiguous
+
+    asm = a_smooth.T                                      # (nv, B)
+
+    # --- contractions ------------------------------------------------------
+    def smv(x):                                           # (nv,B) → (ns,B)
+        return jnp.sum(Jb * x[None], axis=1)
+
+    def smtv(f):                                          # (ns,B) → (nv,B)
+        return jnp.sum(Jb * f[:, None], axis=0)
+
+    def cmv(x):                                           # (nv,B) → (C,6,B)
+        return jnp.sum(cJb * x[None, None], axis=2)
+
+    def cmtv(f):                                          # (C,6,B) → (nv,B)
+        return jnp.sum(cJb * f[:, :, None], axis=(0, 1))
+
+    def mv_M(x):                                          # (nv,B) → (nv,B)
+        return jax.lax.dot_general(M, x, (((2,), (0,)), ((0,), (1,))),
+                                   precision=_PREC).T
+
+    def jtwj_bl(w):                                       # (ns,B) → (B,nv,nv)
+        return jax.lax.dot_general(Jb * w[:, None], Jb,
+                                   (((0,), (0,)), ((2,), (2,))),
+                                   precision=_PREC)
+
+    def quad_bl(Cb):                                      # (C,6,6,B) → (B,nv,nv)
+        t = sum(Cb[:, :, e][:, :, None] * cJb[:, e][:, None]
+                for e in range(6))                        # (C, 6, nv, B)
+        return jax.lax.dot_general(cJx, t.reshape(C * 6, nv, B),
+                                   (((0,), (0,)), ((2,), (2,))),
+                                   precision=_PREC)
+
+    def forces(us, uc):
+        fs = simple_force(us, D_s, flb, unilateral)
+        fc = cone_force_bt(uc, D_c, cmub, dmb) if C else None
+        return fs, fc
+
+    eye = jnp.eye(nv, dtype=dtype)
+    trace_M = jnp.trace(M, axis1=1, axis2=2)              # (B,)
+
+    def newton_iter(_, a):
+        us = smv(a) - arefb                               # (ns, B)
+        uc = cmv(a) - carefb if C else None               # (C, 6, B)
+        fs, fc = forces(us, uc)
+        g = mv_M(a - asm) - smtv(fs)
+        if C:
+            g = g - cmtv(fc)
+
+        cw = simple_hess_weight(us, D_s, flb, unilateral)
+        H = M + jtwj_bl(cw)
+        if C:
+            H = H + quad_bl(cone_hessian_analytic_bt(uc, D_c, cmub, dmb))
+        H = H + (1e-10 / nv) * trace_M[:, None, None] * eye
+        p = -spd_solve(H, g.T)                            # (B, nv)
+        p = p.T                                           # (nv, B)
+
+        Mp = mv_M(p)
+        pMp = jnp.sum(p * Mp, axis=0)                     # (B,)
+        pMr = jnp.sum(p * mv_M(a - asm), axis=0)
+        dus = smv(p)
+        duc = cmv(p) if C else None
+
+        def dphi(t):
+            # t: scalar or (B,)
+            fs_t, fc_t = forces(us + t * dus,
+                                uc + t * duc if C else None)
+            val = pMr + t * pMp - jnp.sum(fs_t * dus, axis=0)
+            if C:
+                val = val - jnp.sum(fc_t * duc, axis=(0, 1))
+            return val                                    # (B,)
+
+        t_pts = [float(x) for x in np.geomspace(1e-3, 64.0, 14)]
+        vals = [dphi(t) for t in t_pts]
+        lo = jnp.zeros_like(vals[0])
+        hi = jnp.full_like(vals[0], 64.0)
+        for t, v in zip(t_pts, vals):
+            lo = jnp.where(v < 0, t, lo)
+        for t, v in zip(reversed(t_pts), reversed(vals)):
+            hi = jnp.where(v >= 0, t, hi)
+
+        def bisect(_, bounds):
+            lo, hi = bounds
+            mid = 0.5 * (lo + hi)
+            v = dphi(mid)
+            return jnp.where(v < 0, mid, lo), jnp.where(v < 0, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, ls_iterations, bisect, (lo, hi))
+        return a + (0.5 * (lo + hi)) * p
+
+    a = jax.lax.fori_loop(0, iterations, newton_iter, asm)
+
+    us = smv(a) - arefb
+    uc = cmv(a) - carefb if C else None
+    fs, fc = forces(us, uc)
+    qfrc = smtv(fs)
+    if C:
+        qfrc = qfrc + cmtv(fc)
+    fc_out = (jnp.transpose(fc, (2, 0, 1)) if C
+              else jnp.zeros((B, 0, 6), dtype))
+    return a.T, fs.T, fc_out, qfrc.T
