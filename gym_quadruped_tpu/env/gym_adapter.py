@@ -45,6 +45,7 @@ class QuadrupedGymEnv(_GYM_BASE):
         self._key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         self._state = None
         self._fwd = None  # Forward of the last step (pre-integration registers)
+        self.is_paused = False  # toggled by space in the viewer (teleop)
 
         self._jit_reset = jax.jit(lambda k: self.core.reset(k))
         self._jit_reset_to = jax.jit(
@@ -89,6 +90,37 @@ class QuadrupedGymEnv(_GYM_BASE):
                 bool(terminated), bool(truncated),
                 {k: np.asarray(v) for k, v in info.items()})
 
+    def _key_callback(self, keycode):
+        """Viewer teleop (reference _key_callback, quadruped_env.py:1330):
+        arrows steer the velocity command, ctrl zeros it, space pauses (the
+        host loop should poll `self.is_paused` between steps)."""
+        import dataclasses
+
+        s = self._state
+        hh = float(self.core.model.hip_height)
+        lin = np.asarray(s.ref_base_lin_vel_H).copy()
+        yaw = float(s.ref_base_ang_yaw_dot)
+        if keycode == 262:            # arrow right
+            yaw -= np.pi / 6
+        elif keycode == 263:          # arrow left
+            yaw += np.pi / 6
+        elif keycode == 265:          # arrow up
+            lin[0] += 0.25 * hh
+        elif keycode == 264:          # arrow down
+            lin[0] -= 0.25 * hh
+        elif keycode == 345:          # ctrl
+            lin[:] = 0.0
+            yaw = 0.0
+        elif keycode == 32:           # space
+            self.is_paused = not getattr(self, 'is_paused', False)
+            print('Pausing simulation.' if self.is_paused
+                  else 'Resuming simulation.')
+        yaw = float(np.clip(yaw, -2 * np.pi, 2 * np.pi))
+        lin[0] = float(np.clip(lin[0], -6 * hh, 6 * hh))
+        self._state = dataclasses.replace(
+            s, ref_base_lin_vel_H=jnp.asarray(lin, s.qpos.dtype),
+            ref_base_ang_yaw_dot=jnp.asarray(yaw, s.qpos.dtype))
+
     def render(self, mode='human', tint_robot=False, ghost_qpos=None,
                ghost_alpha=0.5):
         """Live interactive viewer (reference render(), quadruped_env.py:408):
@@ -112,7 +144,8 @@ class QuadrupedGymEnv(_GYM_BASE):
                 change_robot_appearance(mj, alpha=1.0)
             d = mujoco.MjData(mj)
             ghost_d = mujoco.MjData(mj)
-            handle = mj_viewer.launch_passive(mj, d)
+            handle = mj_viewer.launch_passive(
+                mj, d, key_callback=self._key_callback)
             self._vis = {'mj': mj, 'd': d, 'ghost_d': ghost_d,
                          'viewer': handle, 'arrow_ids': [-1, -1],
                          'ghost_geoms': {}}

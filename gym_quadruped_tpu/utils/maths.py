@@ -183,3 +183,16 @@ def angle_between_vectors(v1, v2) -> jnp.ndarray:
 def homogenous_transform(p: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """Apply a (..., 4, 4) homogeneous transform to points (..., 3)."""
     return jnp.einsum('...ij,...j->...i', X[..., :3, :3], p) + X[..., :3, 3]
+
+
+def process_range(values):
+    """Normalize a scalar or (min, max) pair to a (min, max) tuple (reference
+    math_utils.py:54 _process_range). Host-side helper for constructor args."""
+    import numbers
+
+    if isinstance(values, numbers.Number):
+        return (values, values)
+    values = tuple(values)
+    if len(values) != 2:
+        raise ValueError(f'Invalid range, expected (min, max), got: {values}')
+    return values
