@@ -1,13 +1,28 @@
-"""Headline benchmark: batched env steps/s on real TPU hardware.
+"""Official benchmark: every BASELINE.json measurement config on real TPU.
 
-Config follows BASELINE.json's north star (4096 batched go2 envs, torque control,
-full contact solve at dt=0.002) on one chip. Baseline for `vs_baseline` is the
-reference's own stack measured in-process: single-env CPU MuJoCo mj_step on the same
-compiled model (the reference has no batching and publishes no numbers —
-BASELINE.md). Prints ONE JSON line.
+Configs (BASELINE.md):
+  headline — go2/flat, B=4096, random torques (north-star batch)
+  cfg1 — mini_cheetah/flat, single env, random actions
+  cfg2 — go2/perlin, B=4096, random torques
+  cfg3 — aliengo/flat + heightmap & IMU through the env layer, B=2048
+  cfg4 — hyqreal2/random_boxes, B=4096
+  cfg5 — mixed-robot batch (go2+aliengo+mini_cheetah, B=4096) with 16x16 depth
+         camera on the aliengo group at its 30 fps cadence (render every 16th
+         physics step — the reference gates the camera the same way,
+         rgbd_camera.py:32-33)
+  mpc  — centroidal MPC solves/s, H=12, B=4096
 
-Run: python bench.py            (defaults: go2/flat, B=4096, T=50)
-Env overrides: BENCH_ROBOT, BENCH_SCENE, BENCH_BATCH, BENCH_STEPS.
+Prints ONE JSON line: the headline metric plus a `configs` dict with every
+other number. `vs_baseline` compares against the reference's own stack measured
+in-process (single-env CPU MuJoCo mj_step on the same compiled model — the
+reference has no batching and publishes no numbers, BASELINE.md).
+
+Timing hygiene (docs/PERF_NOTES.md): distinct chained executions, host readback
+of a reduction per run, median of repeats — the axon runtime memoizes identical
+calls and block_until_ready can resolve early.
+
+Run: python bench.py       Overrides: BENCH_BATCH, BENCH_STEPS, BENCH_ONLY
+(comma list of {headline,cfg1,cfg2,cfg3,cfg4,cfg5,mpc}).
 """
 
 import json
@@ -15,6 +30,27 @@ import os
 import time
 
 import numpy as np
+
+
+def _median_rate(run, make_inputs, units_per_run, reps=3):
+    """Median units/s over `reps` DISTINCT chained executions of run(*inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = run(*make_inputs(0))
+    jax.block_until_ready(out)
+    times = []
+    carry_out = None
+    for r in range(reps):
+        args = make_inputs(r + 1, carry_out)
+        t0 = time.perf_counter()
+        out = run(*args)
+        first = jax.tree_util.tree_leaves(out)[0]
+        checksum = float(jnp.sum(first))
+        times.append(time.perf_counter() - t0)
+        assert np.isfinite(checksum), 'non-finite result in bench'
+        carry_out = out
+    return units_per_run / float(np.median(times))
 
 
 def measure_mujoco_cpu(robot: str, scene: str, n_steps: int = 2000) -> float:
@@ -28,8 +64,7 @@ def measure_mujoco_cpu(robot: str, scene: str, n_steps: int = 2000) -> float:
     mujoco.mj_resetDataKeyframe(mj, d, 0)
     rng = np.random.RandomState(0)
     ctrl = rng.uniform(-2, 2, (n_steps, mj.nu))
-    # warmup
-    for t in range(100):
+    for t in range(100):  # warmup
         d.ctrl[:] = ctrl[t]
         mujoco.mj_step(mj, d)
     mujoco.mj_resetDataKeyframe(mj, d, 0)
@@ -40,12 +75,10 @@ def measure_mujoco_cpu(robot: str, scene: str, n_steps: int = 2000) -> float:
     return n_steps / (time.perf_counter() - t0)
 
 
-def measure_tpu(robot: str, scene: str, batch: int, n_steps: int) -> float:
-    """Batched engine steps/s on the default JAX backend (TPU under the driver)."""
+def measure_engine(robot: str, scene: str, batch: int, n_steps: int,
+                   reps: int = 3) -> float:
+    """Batched engine steps/s (the raw physics hot loop)."""
     import jax
-
-    # true-f32 matmul accumulation: the TPU bf16 MXU default breaks the solver
-    jax.config.update('jax_default_matmul_precision', 'highest')
     import jax.numpy as jnp
 
     from gym_quadruped_tpu.models.builder import load_model
@@ -53,62 +86,203 @@ def measure_tpu(robot: str, scene: str, batch: int, n_steps: int) -> float:
 
     model = load_model(robot, scene)
     dtype = jnp.float32
-    qpos = jnp.tile(jnp.asarray(model.key_qpos[0], dtype), (batch, 1))
-    qvel = jnp.zeros((batch, model.nv), dtype)
-    key = jax.random.PRNGKey(0)
-    ctrl_seq = jax.random.uniform(key, (n_steps, batch, model.nu), dtype, -2, 2)
+    qpos0 = jnp.tile(jnp.asarray(model.key_qpos[0], dtype), (batch, 1))
+    qvel0 = jnp.zeros((batch, model.nv), dtype)
 
     @jax.jit
     def run(qpos, qvel, ctrl_seq):
         def body(carry, ctrl):
-            qp, qv = carry
-            qp2, qv2, fwd = jax.vmap(
-                lambda a, b, c: engine.step(model, a, b, c))(qp, qv, ctrl)
-            return (qp2, qv2), fwd.qacc[:, 0]
+            qp, qv, fwd = engine.step_batched(model, carry[0], carry[1], ctrl)
+            return (qp, qv), None
 
         (qp, qv), _ = jax.lax.scan(body, (qpos, qvel), ctrl_seq)
         return qp, qv
 
-    out = run(qpos, qvel, ctrl_seq)  # compile + warmup
-    jax.block_until_ready(out)
-    # time several DISTINCT executions (identical calls can be memoized by the
-    # runtime); chain the state so no run is skippable, take the median
-    times = []
-    qp, qv = qpos, qvel
-    for r in range(3):
-        ctrl_r = jax.random.uniform(jax.random.PRNGKey(r + 1),
-                                    (n_steps, batch, model.nu), dtype, -2, 2)
-        _ = float(jnp.sum(ctrl_r))  # materialize inputs before the clock starts
-        t0 = time.perf_counter()
-        qp, qv = run(qp, qv, ctrl_r)
-        # host readback of a reduction: forces true completion even on runtimes
-        # where block_until_ready resolves early (remote-backend tunnels)
-        checksum = float(jnp.sum(qp))
-        times.append(time.perf_counter() - t0)
-        assert np.isfinite(checksum), 'non-finite states in bench'
-    assert np.isfinite(np.asarray(qp)).all(), 'non-finite states in bench'
-    return batch * n_steps / float(np.median(times))
+    def make_inputs(r, carry=None):
+        ctrl = jax.random.uniform(jax.random.PRNGKey(r),
+                                  (n_steps, batch, model.nu), dtype, -2, 2)
+        jax.block_until_ready(ctrl)
+        if carry is None:
+            return qpos0, qvel0, ctrl
+        return carry[0], carry[1], ctrl
+
+    return _median_rate(run, make_inputs, batch * n_steps, reps)
+
+
+def measure_env_sensors(batch: int, n_steps: int) -> float:
+    """cfg3: aliengo/flat through the full env layer with HeightMap + IMU."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_quadruped_tpu.env.env import QuadrupedEnv
+    from gym_quadruped_tpu.sensors import IMU, HeightMap
+
+    env = QuadrupedEnv(
+        'aliengo', scene='flat',
+        state_obs_names=('qpos', 'qvel', 'imu_acc', 'imu_gyro', 'height_map'),
+        sensors=(IMU, HeightMap),
+        sensors_kwargs=({}, {'num_rows': 5, 'num_cols': 5}))
+    nu = env.model.nu
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    state0, _ = jax.jit(jax.vmap(env.reset))(keys)
+
+    @jax.jit
+    def run(state, act_seq):
+        def body(s, a):
+            s2, obs, r, te, tr, info = jax.vmap(env.step)(s, a)
+            return s2, None
+
+        s, _ = jax.lax.scan(body, state, act_seq)
+        return s
+
+    def make_inputs(r, carry=None):
+        acts = jax.random.uniform(jax.random.PRNGKey(r),
+                                  (n_steps, batch, nu), jnp.float32, -2, 2)
+        jax.block_until_ready(acts)
+        return (carry if carry is not None else state0), acts
+
+    return _median_rate(run, make_inputs, batch * n_steps, reps=2)
+
+
+def measure_mixed_camera(batch: int, n_chunks: int) -> float:
+    """cfg5: mixed-robot batch; aliengo group renders a 16x16 depth image every
+    16th step (30 fps at dt=0.002)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_quadruped_tpu.env.mixed import MixedQuadrupedEnv
+    from gym_quadruped_tpu.sensors.rgbd_camera import Camera
+
+    b_go2 = batch // 2
+    b_al = batch // 4
+    b_mc = batch - b_go2 - b_al
+    env = MixedQuadrupedEnv(
+        [('go2', b_go2), ('aliengo', b_al), ('mini_cheetah', b_mc)],
+        scene='flat', state_obs_names=('qpos', 'qvel', 'contact_state'))
+    cam = Camera(env.groups[1].model, width=16, height=16, cam_name='robotcam')
+    nu = env.nu_max
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    state0, _ = jax.jit(env.reset)(keys)
+    steps_per_chunk = 16
+
+    @jax.jit
+    def run(state, act_seq):
+        # act_seq: (n_chunks, steps_per_chunk, B, nu)
+        def chunk(s, acts):
+            def body(s2, a):
+                s3, *_ = env.step(s2, a)
+                return s3, None
+
+            s, _ = jax.lax.scan(body, s, acts)
+            depth = jax.vmap(lambda qp: cam.shoot(qp)[0])(s[1].qpos)
+            return s, jnp.sum(depth)
+
+        s, d = jax.lax.scan(chunk, state, act_seq)
+        return s, d
+
+    def make_inputs(r, carry=None):
+        acts = jax.random.uniform(
+            jax.random.PRNGKey(r),
+            (n_chunks, steps_per_chunk, batch, nu), jnp.float32, -2, 2)
+        jax.block_until_ready(acts)
+        return (carry[0] if carry is not None else state0), acts
+
+    return _median_rate(run, make_inputs, batch * n_chunks * steps_per_chunk,
+                        reps=2)
+
+
+def measure_mpc(batch: int) -> float:
+    """Centroidal MPC solves/s at H=12 (BASELINE headline #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_quadruped_tpu.models.builder import load_model
+    from gym_quadruped_tpu.mpc import CentroidalMPC, GaitConfig, MPCConfig
+
+    model = load_model('go2', 'flat')
+    mpc = CentroidalMPC(model, MPCConfig(gait=GaitConfig('trot'),
+                                         iterations=30))
+    feet0 = jnp.asarray(
+        [[0.19, 0.14, 0.02], [0.19, -0.14, 0.02],
+         [-0.19, 0.14, 0.02], [-0.19, -0.14, 0.02]], jnp.float32)
+
+    def one_solve(qpos, qvel, t, ref):
+        forces, _ = mpc.solve(qpos, qvel, feet0, t, ref,
+                              jnp.asarray(0.0, qpos.dtype))
+        return forces[0]
+
+    solve = jax.jit(jax.vmap(one_solve))
+    key = jax.random.PRNGKey(0)
+    qpos0 = jnp.tile(jnp.asarray(model.key_qpos[0], jnp.float32), (batch, 1))
+    qpos0 = qpos0 + 0.01 * jax.random.normal(key, qpos0.shape, jnp.float32)
+    ts = jax.random.uniform(key, (batch,), jnp.float32, 0.0, 1.0)
+    refs = jnp.tile(jnp.asarray([0.4, 0, 0], jnp.float32), (batch, 1))
+
+    def make_inputs(r, carry=None):
+        qvel = 0.1 * jax.random.normal(jax.random.PRNGKey(r),
+                                       (batch, model.nv), jnp.float32)
+        jax.block_until_ready(qvel)
+        return qpos0, qvel, ts, refs
+
+    return _median_rate(solve, make_inputs, batch, reps=3)
 
 
 def main():
-    robot = os.environ.get('BENCH_ROBOT', 'go2')
-    scene = os.environ.get('BENCH_SCENE', 'flat')
+    import jax
+
+    # true-f32 matmul accumulation: the TPU bf16 MXU default breaks the solver
+    jax.config.update('jax_default_matmul_precision', 'highest')
+
     batch = int(os.environ.get('BENCH_BATCH', 4096))
     n_steps = int(os.environ.get('BENCH_STEPS', 50))
+    only = os.environ.get('BENCH_ONLY')
+    only = set(only.split(',')) if only else None
 
-    tpu_rate = measure_tpu(robot, scene, batch, n_steps)
+    def want(name):
+        return only is None or name in only
+
+    configs = {}
+
+    def record(name, fn):
+        if not want(name):
+            return
+        try:
+            value = fn()
+            configs[name] = round(value, 1)
+        except Exception as e:  # noqa: BLE001 — one config must not kill the run
+            configs[name] = f'ERROR: {type(e).__name__}: {e}'
+
+    headline = None
+    if want('headline'):
+        headline = measure_engine('go2', 'flat', batch, n_steps)
+    record('mini_cheetah_flat_single_env',
+           lambda: measure_engine('mini_cheetah', 'flat', 1, 2000, reps=3))
+    record('go2_perlin_b4096',
+           lambda: measure_engine('go2', 'perlin', batch, n_steps))
+    record('aliengo_flat_heightmap_imu_b2048',
+           lambda: measure_env_sensors(batch // 2, max(n_steps // 2, 10)))
+    record('hyqreal2_random_boxes_b4096',
+           lambda: measure_engine('hyqreal2', 'random_boxes', batch, n_steps))
+    record('mixed_camera_b4096', lambda: measure_mixed_camera(batch, 3))
+    record('mpc_solves_per_s_H12_b4096', lambda: measure_mpc(batch))
+
     try:
-        cpu_rate = measure_mujoco_cpu(robot, scene)
+        cpu_rate = measure_mujoco_cpu('go2', 'flat')
     except Exception:
         cpu_rate = float('nan')
 
-    print(json.dumps({
-        'metric': f'env_steps_per_s_{robot}_{scene}_b{batch}',
-        'value': round(tpu_rate, 1),
+    out = {
+        'metric': f'env_steps_per_s_go2_flat_b{batch}',
+        'value': round(headline, 1) if headline is not None else None,
         'unit': 'steps/s',
-        'vs_baseline': round(tpu_rate / cpu_rate, 2) if np.isfinite(cpu_rate)
-        else None,
-    }))
+        'vs_baseline': (round(headline / cpu_rate, 2)
+                        if headline is not None and np.isfinite(cpu_rate)
+                        else None),
+        'configs': configs,
+        'cpu_mujoco_single_env': (round(cpu_rate, 1)
+                                  if np.isfinite(cpu_rate) else None),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

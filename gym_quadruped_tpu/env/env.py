@@ -67,6 +67,7 @@ class QuadrupedEnv:
         external_disturbances_kwargs: dict | None = None,
         model: Model | None = None,
         solver_iterations: int = 10,
+        max_contacts: int | None = None,
     ):
         self.robot_name = robot
         self.robot_cfg = get_robot_config(robot)
@@ -83,6 +84,10 @@ class QuadrupedEnv:
         self.state_obs_names = tuple(state_obs_names)
         self.external_disturbances_kwargs = external_disturbances_kwargs
         self.solver_iterations = solver_iterations
+        # per-scene override of the cone-contact cap (engine.MAX_CONE_CONTACTS):
+        # raise for cluttered scenes where >32 slots can touch simultaneously
+        self.max_contacts = (engine.MAX_CONE_CONTACTS if max_contacts is None
+                             else int(max_contacts))
 
         self.model = model if model is not None else load_model(robot, scene, sim_dt)
         self.terrain_limits = self.model.terrain_limits
@@ -110,6 +115,7 @@ class QuadrupedEnv:
             ground_friction_coeff=ground_friction_coeff,
             legs_order=tuple(legs_order),
             external_disturbances_kwargs=external_disturbances_kwargs,
+            max_contacts=max_contacts,
         )
 
     # ------------------------------------------------------------------ helpers
@@ -139,6 +145,21 @@ class QuadrupedEnv:
             else:
                 dims[name] = obslib.obs_dim(self.model, name)
         return dims
+
+    def observation_space_limits(self) -> dict:
+        """name → (low, high) bounds (reference configure_observation_space,
+        quadruped_utils.py:235-325); sensor observables are unbounded."""
+        lims = {}
+        for name in self.state_obs_names:
+            if self._is_sensor_obs(name):
+                for s in self.sensors:
+                    if name in s.available_observations():
+                        d = s.observation_dim(name)
+                        lims[name] = (np.full(d, -np.inf), np.full(d, np.inf))
+                        break
+            else:
+                lims[name] = obslib.obs_limits(self.model, name)
+        return lims
 
     def action_space_bounds(self) -> tuple:
         """(low, high) torque bounds (reference quadruped_env.py:214-225)."""
@@ -316,7 +337,8 @@ class QuadrupedEnv:
         con_mu = runtime_con_mu(m, friction)
         qp2, qv2, fwd = engine.step(m, qp, qv, ctrl,
                                     solver_iterations=self.solver_iterations,
-                                    con_mu=con_mu)
+                                    con_mu=con_mu,
+                                    max_contacts=self.max_contacts)
 
         k_next, k_sens = jax.random.split(k_next)
         sensor_states = tuple(
@@ -354,7 +376,8 @@ class QuadrupedEnv:
         qp, qv, fwd = engine.step(m, state.qpos, state.qvel, ctrl,
                                   qfrc_applied=qfrc_applied,
                                   solver_iterations=self.solver_iterations,
-                                  con_mu=con_mu)
+                                  con_mu=con_mu,
+                                  max_contacts=self.max_contacts)
 
         lay = constraint_layout(m)
         terminated = invalid_contact(m, lay, fwd) | self._out_of_bounds(qp)
@@ -395,8 +418,22 @@ class QuadrupedEnv:
 
         obs = self._obs(new_state, fwd)
         info = {'time': new_state.time, 'step_num': new_state.step_num,
-                'invalid_contacts': invalid_contact(m, lay, fwd)}
+                'invalid_contacts': invalid_contact(m, lay, fwd),
+                'culled_contacts': self._culled_contacts(fwd)}
         return new_state, obs, reward, terminated, truncated, info
+
+    def _culled_contacts(self, fwd):
+        """Active-but-culled cone slots this step: touching slots beyond the
+        max_contacts cap are silently dropped from the solve, so a nonzero
+        counter flags that the cap needs raising for this scene."""
+        lay = constraint_layout(self.model)
+        cs = np.asarray(lay.cone_slots)
+        if cs.size == 0 or cs.size <= self.max_contacts:
+            return jnp.zeros((), jnp.int32)
+        dtype = fwd.contacts.dist.dtype
+        margin = jnp.asarray(np.asarray(lay.con_margin)[cs], dtype)
+        touching = jnp.sum((fwd.contacts.dist[cs] < margin).astype(jnp.int32))
+        return jnp.maximum(touching - self.max_contacts, 0)
 
     def _out_of_bounds(self, qpos):
         """quadruped_env.py:1250-1257 (terrain_limits = x_max, x_min, y_max, y_min)."""

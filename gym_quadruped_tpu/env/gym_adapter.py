@@ -59,10 +59,14 @@ class QuadrupedGymEnv(_GYM_BASE):
             self.action_space = spaces.Box(
                 low=low.astype(np.float32), high=high.astype(np.float32),
                 shape=(self.core.model.nu,), dtype=np.float32)
-            dims = self.core.observation_space_dims()
+            # per-obs bounds: joint ranges / ctrlrange / [0,1] contact flags
+            # (reference configure_observation_space, quadruped_utils.py:235-325)
+            lims = self.core.observation_space_limits()
             self.observation_space = spaces.Dict({
-                name: spaces.Box(-np.inf, np.inf, shape=(dim,), dtype=np.float32)
-                for name, dim in dims.items()})
+                name: spaces.Box(low=lo.astype(np.float32),
+                                 high=hi.astype(np.float32),
+                                 shape=lo.shape, dtype=np.float32)
+                for name, (lo, hi) in lims.items()})
 
     # ----------------------------------------------------------------- gym API
 
@@ -130,7 +134,7 @@ class QuadrupedGymEnv(_GYM_BASE):
         import mujoco
         import mujoco.viewer as mj_viewer
 
-        from gym_quadruped_tpu.models.builder import build_mj_model
+        from gym_quadruped_tpu.models.builder import build_display_mj_model
         from gym_quadruped_tpu.utils.mujoco_visual import (
             change_robot_appearance,
             render_ghost_robot,
@@ -138,8 +142,9 @@ class QuadrupedGymEnv(_GYM_BASE):
         )
 
         if not hasattr(self, '_vis'):
-            mj, _ = build_mj_model(self.core.robot_name, self.core.scene_name,
-                                   self.core.model.timestep)
+            mj, _ = build_display_mj_model(
+                self.core.robot_name, self.core.scene_name,
+                self.core.model.timestep)
             if tint_robot:
                 change_robot_appearance(mj, alpha=1.0)
             d = mujoco.MjData(mj)

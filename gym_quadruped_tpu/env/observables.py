@@ -83,6 +83,34 @@ def obs_dim(m: Model, name: str) -> int:
     raise ValueError(f'Invalid observation name: {name}, available: {ALL_OBS}')
 
 
+def obs_limits(m: Model, name: str) -> tuple[np.ndarray, np.ndarray]:
+    """(low, high) bounds per observable (reference configure_observation_space,
+    quadruped_utils.py:235-325): joint ranges bound qpos/qpos_js, ctrlrange
+    bounds tau_ctrl_setpoint, contact_state is [0, 1], everything else ±inf.
+
+    The reference indexes jnt_range[1:] — i.e. it assumes joint 0 is the free
+    joint and every other joint contributes one qpos; that holds for every
+    shipped robot and is reproduced here."""
+    dim = obs_dim(m, name)
+    lo = np.full(dim, -np.inf)
+    hi = np.full(dim, np.inf)
+    jr = np.asarray(m.jnt_range)
+    if name == 'qpos':
+        lo[7:] = jr[1:, 0]
+        hi[7:] = jr[1:, 1]
+    elif name == 'qpos_js':
+        lo[:] = jr[1:, 0]
+        hi[:] = jr[1:, 1]
+    elif name == 'tau_ctrl_setpoint':
+        cr = np.asarray(m.actuator_ctrlrange)
+        lo[:] = cr[:, 0]
+        hi[:] = cr[:, 1]
+    elif name.split(':')[0] == 'contact_state':
+        lo[:] = 0.0
+        hi[:] = 1.0
+    return lo, hi
+
+
 def heading_R(qpos) -> jnp.ndarray:
     """Yaw-only SO(3) (reference heading_orientation_SO3, quadruped_env.py:989)."""
     yaw = quat_to_euler_xyz(qpos[3:7])[2]

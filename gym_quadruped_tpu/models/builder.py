@@ -57,11 +57,14 @@ def _patch_robot_xml(robot_xml: Path, out_dir: Path) -> Path:
 
 def compose_scene_xml(robot: str, scene: str = 'flat', seed: int = 10,
                       out_dir: str | None = None,
-                      hfield: np.ndarray | None = None) -> tuple[str, tuple]:
+                      hfield: np.ndarray | None = None,
+                      strip_meshes: bool = True) -> tuple[str, tuple]:
     """Write the merged scene+robot MJCF and return (path, terrain_limits).
 
     Mirrors the reference's scene assembly (quadruped_env.py:149-168): generate the
     terrain document, insert an <include> of the robot MJCF, write to disk.
+    strip_meshes=False keeps the robot's visual mesh geoms (display models —
+    the physics Model always builds from the stripped variant).
     """
     from gym_quadruped_tpu.models.robots import find_assets_dir
 
@@ -83,11 +86,16 @@ def compose_scene_xml(robot: str, scene: str = 'flat', seed: int = 10,
         tree, limits = _scenes.generate_scene(scene, cfg.hip_height, seed)
 
     out_dir = Path(out_dir or tempfile.mkdtemp(prefix='gqtpu_scene_'))
-    patched_robot_xml = _patch_robot_xml(robot_xml, out_dir)
+    if strip_meshes:
+        include_xml = _patch_robot_xml(robot_xml, out_dir)
+    else:
+        # display model: include the ORIGINAL robot MJCF (absolute path, like
+        # the reference — quadruped_env.py:163-166) so its meshdir resolves
+        include_xml = robot_xml
 
     root = tree.getroot()
     include = ET.Element('include')
-    include.attrib['file'] = str(patched_robot_xml)
+    include.attrib['file'] = str(include_xml)
     root.insert(0, include)
 
     out_path = Path(out_dir) / f'{cfg.name}-{scene}.xml'
@@ -114,7 +122,8 @@ def _attach_hfield_asset(tree, hip_height: float, nrow: int = 128, ncol: int = 1
 
 
 def build_mj_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
-                   seed: int = 10, hfield: np.ndarray | None = None):
+                   seed: int = 10, hfield: np.ndarray | None = None,
+                   strip_meshes: bool = True):
     """Compile with MuJoCo and apply the reference's post-compile mutations.
 
     Returns (mjModel, terrain_limits). Used by build_model and by parity tests
@@ -123,7 +132,8 @@ def build_mj_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
     import mujoco
 
     cfg = get_robot_config(robot)
-    xml_path, limits = compose_scene_xml(robot, scene, seed)
+    xml_path, limits = compose_scene_xml(robot, scene, seed,
+                                         strip_meshes=strip_meshes)
     m = mujoco.MjModel.from_xml_path(xml_path)
     if cfg.qpos0_js is not None:  # reference quadruped_env.py:171-173
         m.qpos0[7:] = np.array(cfg.qpos0_js)
@@ -152,6 +162,19 @@ def build_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
         m, limits = build_mj_model(robot, scene, sim_dt, seed, hfield)
         return extract_model(m, robot, scene, limits)
     return _build_model_cached(robot, scene, sim_dt, seed)
+
+
+def build_display_mj_model(robot: str, scene: str = 'flat',
+                           sim_dt: float = 0.002, seed: int = 10):
+    """Full-visual mjModel for host-side rendering (viewer / Camera.image):
+    the reference viewer and offscreen RGB show robot meshes
+    (quadruped_env.py:408-486, rgbd_camera.py:39), so the display model keeps
+    them. Falls back to the stripped physics model when mesh assets are
+    incomplete in this checkout (e.g. a missing .obj)."""
+    try:
+        return build_mj_model(robot, scene, sim_dt, seed, strip_meshes=False)
+    except Exception:  # missing mesh assets — render collision primitives
+        return build_mj_model(robot, scene, sim_dt, seed)
 
 
 def load_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002) -> Model:

@@ -155,25 +155,29 @@ def _plane_capsule(ppos, pmat, cpos, cmat, radius, halflen):
     return jnp.stack([d1, d2]), jnp.stack([p1, p2]), jnp.broadcast_to(n, (2, 3))
 
 
+_BOX_CORNER_SIGNS = np.array(
+    [[-1, -1, -1], [1, -1, -1], [-1, 1, -1], [1, 1, -1],
+     [-1, -1, 1], [1, -1, 1], [-1, 1, 1], [1, 1, 1]], np.float64)
+
+
 def _plane_box(ppos, pmat, bpos, bmat, size):
     """4 deepest corners of the box vs the plane (MuJoCo keeps ≤4 corner contacts).
 
-    Analytic selection instead of an argsort (sorts are slow on the TPU VPU):
-    with per-axis depth contributions dᵢ = (Rᵀn)ᵢ·sizeᵢ, the deepest corner takes
-    every sign opposing dᵢ, and the next three flip exactly one axis — the flip
-    costs 2|dᵢ|, so ordering the singles by |dᵢ| is unnecessary (all four are
-    emitted as contact slots anyway)."""
+    All 8 corner depths are evaluated and the 4 deepest selected with top_k
+    (8 elements — negligible on the VPU). An earlier analytic shortcut (deepest
+    corner + its 3 single-axis flips) was wrong for near-flat boxes, where the
+    true 4th-deepest corner is a double-axis flip: a box resting flat on the
+    plane would get 3 bottom corners + 1 top corner, i.e. unphysical 3-point
+    support."""
     n = pmat[:, 2]
-    d_axis = bmat.T @ n * size          # (3,) per-axis contribution
-    base = -jnp.abs(d_axis)             # deepest corner contributions
+    d_axis = bmat.T @ n * size          # (3,) per-axis depth contribution
     center_d = jnp.dot(n, bpos - ppos)
-    d0 = center_d + base.sum()
-    d4 = jnp.stack([d0, d0 - 2 * base[0], d0 - 2 * base[1], d0 - 2 * base[2]])
-    sgn = -jnp.sign(jnp.where(d_axis == 0, 1.0, d_axis))  # signs of deepest corner
-    corner0 = bpos + bmat @ (sgn * size)
-    flips = corner0[None, :] - 2 * (bmat * (sgn * size)[None, :]).T  # (3, 3)
-    corners = jnp.concatenate([corner0[None, :], flips], axis=0)     # (4, 3)
-    pos = corners - 0.5 * d4[:, None] * n[None, :]
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, n.dtype)       # (8, 3)
+    depths = center_d + signs @ d_axis                    # (8,)
+    corners = bpos[None, :] + (signs * size[None, :]) @ bmat.T  # (8, 3)
+    neg_top, idx = jax.lax.top_k(-depths, 4)
+    d4 = -neg_top
+    pos = corners[idx] - 0.5 * d4[:, None] * n[None, :]
     return d4, pos, jnp.broadcast_to(n, (4, 3))
 
 

@@ -150,16 +150,18 @@ def euler(m: Model, qpos, qvel, fwd: Forward):
 
 
 def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
-         solver_iterations: int = 10, con_mu=None):
+         solver_iterations: int = 10, con_mu=None,
+         max_contacts: int = MAX_CONE_CONTACTS):
     """mj_step equivalent: returns (qpos', qvel', Forward-at-old-state)."""
     fwd = forward(m, qpos, qvel, ctrl, qfrc_applied, warmstart, solver_iterations,
-                  con_mu=con_mu)
+                  con_mu=con_mu, max_contacts=max_contacts)
     qpos_new, qvel_new = euler(m, qpos, qvel, fwd)
     return qpos_new, qvel_new, fwd
 
 
 def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
-                 solver_iterations: int = 10, con_mu=None):
+                 solver_iterations: int = 10, con_mu=None,
+                 max_contacts: int = MAX_CONE_CONTACTS):
     """Batch-level mj_step: identical math to vmap(step) but the Newton
     constraint solve runs as ONE fused Pallas kernel per batch chunk
     (ops/newton_solve.py) — the whole iteration loop stays in VMEM instead of
@@ -170,11 +172,11 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
     from gym_quadruped_tpu.ops import newton_bt
 
     if qfrc_applied is None:
-        pre = jax.vmap(lambda a, b, c: _pre_solve(m, a, b, c, None, con_mu))(
-            qpos, qvel, ctrl)
+        pre = jax.vmap(lambda a, b, c: _pre_solve(
+            m, a, b, c, None, con_mu, max_contacts))(qpos, qvel, ctrl)
     else:
-        pre = jax.vmap(lambda a, b, c, q: _pre_solve(m, a, b, c, q, con_mu))(
-            qpos, qvel, ctrl, qfrc_applied)
+        pre = jax.vmap(lambda a, b, c, q: _pre_solve(
+            m, a, b, c, q, con_mu, max_contacts))(qpos, qvel, ctrl, qfrc_applied)
     (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth, contacts,
      efc) = pre
 

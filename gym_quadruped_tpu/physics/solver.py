@@ -276,8 +276,10 @@ def cone_hessian_rows(u, D, mu, dim_mask):
     top = (N >= mu0 * T)[:, None]
     bot = (W <= 0.0)[:, None]
     zero6 = jnp.zeros_like(u)
-    eye6 = np.eye(6, dtype=np.float64)
 
+    # Rows are assembled by static slicing + concatenation ONLY — no eye6
+    # constant rows: 1-D constant arrays become captured constants inside the
+    # fused Pallas kernel's trace and Mosaic rejects them (ADVICE r1).
     rows = []
     for d in range(6):
         if d == 0:
@@ -286,12 +288,21 @@ def cone_hessian_rows(u, D, mu, dim_mask):
                 -jnp.expand_dims(Dn, 1) * beta,
             ], axis=1)
         else:
-            ff_row = (jnp.asarray(eye6[d, 1:], dtype) * diag[:, d - 1:d]
-                      - Dfuf[:, d - 1:d] * right)
-            row = jnp.concatenate([col0[:, d - 1:d], ff_row], axis=1)
+            j = d - 1
+            base = -Dfuf[:, j:j + 1] * right               # (C, 5)
+            parts = ([base[:, :j]] if j else []) \
+                + [base[:, j:j + 1] + diag[:, j:j + 1]] \
+                + ([base[:, j + 1:]] if j < 4 else [])
+            ff_row = parts[0] if len(parts) == 1 \
+                else jnp.concatenate(parts, axis=1)
+            row = jnp.concatenate([col0[:, j:j + 1], ff_row], axis=1)
         row = row * dim_mask[:, d:d + 1] * dim_mask        # zone: middle
-        row_b = jnp.asarray(eye6[d], dtype) * (D * dim_mask) \
-            * dim_mask[:, d:d + 1]                         # zone: bottom
+        # zone: bottom — diag(D); only column d is nonzero
+        val_b = D[:, d:d + 1] * dim_mask[:, d:d + 1] * dim_mask[:, d:d + 1]
+        parts_b = ([zero6[:, :d]] if d else []) + [val_b] \
+            + ([zero6[:, d + 1:]] if d < 5 else [])
+        row_b = parts_b[0] if len(parts_b) == 1 \
+            else jnp.concatenate(parts_b, axis=1)
         rows.append(jnp.where(top, zero6, jnp.where(bot, row_b, row)))
     return tuple(rows)
 
@@ -395,23 +406,23 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
             # static unroll with PYTHON-float grid points: a vmap level over the
             # grid axis creates rank-4 broadcasts and 1-D array constants crash
             # Mosaic's layout pass
-            t_pts = [float(x) for x in np.geomspace(1e-3, 64.0, 14)]
+            t_pts = [float(x) for x in np.geomspace(1e-3, 256.0, 15)]
             vals = [dphi(t) for t in t_pts]
             lo = jnp.zeros_like(vals[0])
-            hi = jnp.full_like(vals[0], 64.0)
+            hi = jnp.full_like(vals[0], 256.0)
             for t, v in zip(t_pts, vals):
                 lo = jnp.where(v < 0, t, lo)          # last negative (ascending)
             for t, v in zip(reversed(t_pts), reversed(vals)):
                 hi = jnp.where(v >= 0, t, hi)         # first non-negative
         else:
             grid = CONST_OVERRIDE.get(
-                'ls_grid', jnp.asarray(np.geomspace(1e-3, 64.0, 14), dtype))
+                'ls_grid', jnp.asarray(np.geomspace(1e-3, 256.0, 15), dtype))
             vals = jax.vmap(dphi)(grid)
             neg = vals < 0
             # largest grid t with φ' < 0 (0 if none), smallest with φ' ≥ 0
             # (the static grid endpoint if none)
             lo = jnp.max(jnp.where(neg, grid, jnp.zeros_like(grid)))
-            hi = jnp.min(jnp.where(neg, jnp.full_like(grid, 64.0), grid))
+            hi = jnp.min(jnp.where(neg, jnp.full_like(grid, 256.0), grid))
 
         def bisect(_, bounds):
             lo, hi = bounds
@@ -615,10 +626,10 @@ def solve_batched(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
                 val = val - jnp.sum(fc_t * duc, axis=(0, 1))
             return val                                    # (B,)
 
-        t_pts = [float(x) for x in np.geomspace(1e-3, 64.0, 14)]
+        t_pts = [float(x) for x in np.geomspace(1e-3, 256.0, 15)]
         vals = [dphi(t) for t in t_pts]
         lo = jnp.zeros_like(vals[0])
-        hi = jnp.full_like(vals[0], 64.0)
+        hi = jnp.full_like(vals[0], 256.0)
         for t, v in zip(t_pts, vals):
             lo = jnp.where(v < 0, t, lo)
         for t, v in zip(reversed(t_pts), reversed(vals)):

@@ -13,8 +13,9 @@ constructor swaps model/data names — SURVEY.md §8.2):
 
 RGB mesh rendering is host-side replay tooling by design (utils/replay.py renders
 recorded trajectories in CPU MuJoCo) — matching the reference's offline usage
-pattern (SURVEY.md §7.6). The fps gating of the reference (interval/last_sim_time,
-:32-33) applies to manual driving: call render() at your own cadence.
+pattern (SURVEY.md §7.6). The reference's fps gating (interval/last_sim_time,
+:32-33) is honored by step() when auto_render=True; manual render() calls are
+un-gated by design (caller picks the cadence).
 
 MuJoCo camera convention: looks along −z, +y up in the image.
 """
@@ -41,6 +42,7 @@ class CameraState:
     depth: Any      # (H, W) euclidean depth of the last render
     seg: Any        # (H, W) int32 geom ids
     last_time: Any  # () time of the last render
+    time: Any       # () current sim time (advanced every step)
 
 
 class Camera(Sensor):
@@ -148,11 +150,11 @@ class Camera(Sensor):
         backend (EGL/OSMesa) — raises RuntimeError with guidance if absent."""
         import mujoco
 
-        from gym_quadruped_tpu.models.builder import build_mj_model
+        from gym_quadruped_tpu.models.builder import build_display_mj_model
 
         if not hasattr(self, '_vis'):
-            mj, _ = build_mj_model(self.model.robot, self.model.scene,
-                                   float(self.model.timestep))
+            mj, _ = build_display_mj_model(self.model.robot, self.model.scene,
+                                           float(self.model.timestep))
             try:
                 renderer = mujoco.Renderer(mj, height=self._height,
                                            width=self._width)
@@ -202,13 +204,29 @@ class Camera(Sensor):
     def init(self, rng, dtype):
         z = jnp.zeros((self._height, self._width), dtype)
         return CameraState(depth=z, seg=jnp.zeros_like(z, dtype=jnp.int32),
-                           last_time=jnp.asarray(-1e9, dtype))
+                           last_time=jnp.asarray(-1e9, dtype),
+                           time=jnp.zeros((), dtype))
 
     def step(self, ss: CameraState, qpos, qvel, fwd) -> CameraState:
+        """fps-gated auto render (reference rgbd_camera.py:32-33 semantics:
+        re-render only when sim time has advanced past 1/fps since the last
+        render). Under a plain jit the skipped branch costs nothing; under vmap
+        XLA executes both cond branches, so for large batches prefer driving
+        render() manually at the camera cadence."""
         if not self.auto_render:
             return ss
-        depth, _, seg, _ = self.render(fwd.kin)
-        return CameraState(depth=depth, seg=seg, last_time=ss.last_time)
+        t = ss.time + jnp.asarray(self.model.timestep, ss.time.dtype)
+        due = (t - ss.last_time) >= self.interval - 1e-9
+
+        def do_render(_):
+            depth, _p, seg, _pc = self.render(fwd.kin)
+            return CameraState(depth=depth, seg=seg, last_time=t, time=t)
+
+        def skip(_):
+            return CameraState(depth=ss.depth, seg=ss.seg,
+                               last_time=ss.last_time, time=t)
+
+        return jax.lax.cond(due, do_render, skip, None)
 
     def get_observation(self, name, ss: CameraState):
         if name == 'depth_image':

@@ -21,9 +21,9 @@ import numpy as np
 def _build(robot: str, scene: str):
     import mujoco
 
-    from gym_quadruped_tpu.models.builder import build_mj_model
+    from gym_quadruped_tpu.models.builder import build_display_mj_model
 
-    mj, _ = build_mj_model(robot, scene)
+    mj, _ = build_display_mj_model(robot, scene)
     return mujoco, mj
 
 

@@ -109,3 +109,20 @@ def test_velocity_command_accessors_and_camera_export(tmp_path):
     names = sorted(p.name for p in out.iterdir())
     assert names == ['depth.npy', 'depth.png', 'points.npy', 'seg.npy']
     assert np.load(out / 'depth.npy').shape == (16, 16)
+
+
+def test_observation_space_limits(env):
+    """Per-obs bounds match the reference configure_observation_space
+    (quadruped_utils.py:235-325): qpos bounded by joint ranges after the free
+    joint, contact_state in [0, 1], qvel unbounded."""
+    m = env.core.model
+    sp = env.observation_space
+    qpos_box = sp['qpos']
+    assert np.all(np.isinf(qpos_box.low[:7])) and np.all(np.isinf(qpos_box.high[:7]))
+    np.testing.assert_allclose(qpos_box.low[7:], np.asarray(m.jnt_range)[1:, 0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(qpos_box.high[7:], np.asarray(m.jnt_range)[1:, 1],
+                               rtol=1e-6)
+    assert np.all(sp['contact_state'].low == 0.0)
+    assert np.all(sp['contact_state'].high == 1.0)
+    assert np.all(np.isinf(sp['qvel'].low))

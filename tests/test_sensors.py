@@ -130,3 +130,27 @@ def test_camera_depth_plane():
     hit = seg >= 0
     assert hit.any()
     assert (depth[hit] > 0).all()
+
+
+def test_camera_fps_gating():
+    """auto_render honors the fps interval (reference rgbd_camera.py:32-33):
+    with interval = 3*dt the depth buffer only refreshes every 3rd step."""
+    mj, limits = build_mj_model('aliengo', 'flat')
+    model = extract_model(mj, 'aliengo', 'flat', limits)
+    if model.cam_fovy.shape[0] == 0:
+        pytest.skip('aliengo has no camera')
+    dt = model.timestep
+    cam = Camera(model, width=8, height=6, cam_name='robotcam',
+                 fps=1.0 / (3 * dt), auto_render=True)
+    qpos = jnp.asarray(model.key_qpos[0])
+    from gym_quadruped_tpu.physics import engine as _engine
+    fwd = _engine.forward(model, qpos, jnp.zeros(model.nv, qpos.dtype),
+                          jnp.zeros(model.nu, qpos.dtype))
+    ss = cam.init(jax.random.PRNGKey(0), qpos.dtype)
+    renders = []
+    for _ in range(6):
+        prev = ss.last_time
+        ss = cam.step(ss, qpos, None, fwd)
+        renders.append(bool(ss.last_time != prev))
+    # first step renders (stale init), then every 3rd
+    assert renders == [True, False, False, True, False, False], renders
