@@ -37,10 +37,20 @@ def _median_rate(run, make_inputs, units_per_run, reps=3):
     import jax
     import jax.numpy as jnp
 
+    def force(o):
+        # host readback, not block_until_ready: the axon runtime can resolve
+        # block_until_ready early, deferring one-time program-load costs into
+        # the first timed rep (measured: 173 s rep0 vs 46 ms steady state)
+        return float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
+
     out = run(*make_inputs(0))
-    jax.block_until_ready(out)
+    force(out)
+    # second warmup THROUGH the carry path: outputs fed back as inputs can
+    # differ in weak types from the originals and trigger one more trace
+    out = run(*make_inputs(0, out))
+    force(out)
     times = []
-    carry_out = None
+    carry_out = out
     for r in range(reps):
         args = make_inputs(r + 1, carry_out)
         t0 = time.perf_counter()
@@ -88,23 +98,29 @@ def measure_engine(robot: str, scene: str, batch: int, n_steps: int,
     dtype = jnp.float32
     qpos0 = jnp.tile(jnp.asarray(model.key_qpos[0], dtype), (batch, 1))
     qvel0 = jnp.zeros((batch, model.nv), dtype)
+    warm0 = jnp.zeros((batch, model.nv), dtype)
+    iters = int(os.environ.get('BENCH_SOLVER_ITERS', 10))
 
     @jax.jit
-    def run(qpos, qvel, ctrl_seq):
+    def run(qpos, qvel, warm, ctrl_seq):
+        # qacc warm start threaded across steps (mjData.qacc_warmstart
+        # semantics — same as the env layer)
         def body(carry, ctrl):
-            qp, qv, fwd = engine.step_batched(model, carry[0], carry[1], ctrl)
-            return (qp, qv), None
+            qp, qv, fwd = engine.step_batched(
+                model, carry[0], carry[1], ctrl, warmstart=carry[2],
+                solver_iterations=iters)
+            return (qp, qv, fwd.qacc), None
 
-        (qp, qv), _ = jax.lax.scan(body, (qpos, qvel), ctrl_seq)
-        return qp, qv
+        (qp, qv, warm), _ = jax.lax.scan(body, (qpos, qvel, warm), ctrl_seq)
+        return qp, qv, warm
 
     def make_inputs(r, carry=None):
         ctrl = jax.random.uniform(jax.random.PRNGKey(r),
                                   (n_steps, batch, model.nu), dtype, -2, 2)
         jax.block_until_ready(ctrl)
         if carry is None:
-            return qpos0, qvel0, ctrl
-        return carry[0], carry[1], ctrl
+            return qpos0, qvel0, warm0, ctrl
+        return carry[0], carry[1], carry[2], ctrl
 
     return _median_rate(run, make_inputs, batch * n_steps, reps)
 
@@ -243,8 +259,8 @@ def main():
 
     configs = {}
 
-    def record(name, fn):
-        if not want(name):
+    def record(short, name, fn):
+        if not want(short):
             return
         try:
             value = fn()
@@ -255,16 +271,17 @@ def main():
     headline = None
     if want('headline'):
         headline = measure_engine('go2', 'flat', batch, n_steps)
-    record('mini_cheetah_flat_single_env',
+    record('cfg1', 'mini_cheetah_flat_single_env',
            lambda: measure_engine('mini_cheetah', 'flat', 1, 2000, reps=3))
-    record('go2_perlin_b4096',
+    record('cfg2', f'go2_perlin_b{batch}',
            lambda: measure_engine('go2', 'perlin', batch, n_steps))
-    record('aliengo_flat_heightmap_imu_b2048',
+    record('cfg3', f'aliengo_flat_heightmap_imu_b{batch // 2}',
            lambda: measure_env_sensors(batch // 2, max(n_steps // 2, 10)))
-    record('hyqreal2_random_boxes_b4096',
+    record('cfg4', f'hyqreal2_random_boxes_b{batch}',
            lambda: measure_engine('hyqreal2', 'random_boxes', batch, n_steps))
-    record('mixed_camera_b4096', lambda: measure_mixed_camera(batch, 3))
-    record('mpc_solves_per_s_H12_b4096', lambda: measure_mpc(batch))
+    record('cfg5', f'mixed_camera_b{batch}',
+           lambda: measure_mixed_camera(batch, 3))
+    record('mpc', f'mpc_solves_per_s_H12_b{batch}', lambda: measure_mpc(batch))
 
     try:
         cpu_rate = measure_mujoco_cpu('go2', 'flat')

@@ -368,13 +368,16 @@ class QuadrupedEnv:
         if self.external_disturbances_kwargs is not None:
             qfrc_applied = jnp.zeros(m.nv, dtype).at[:6].set(state.external_wrench)
 
-        # NOTE: no warm starting — measured on the 200-step oracle trajectories,
-        # a warm start does not buy iteration reductions here (Newton from
-        # qacc_smooth converges at least as fast), so cold start keeps the
-        # batch-uniform iteration count honest.
+        # Warm start from the previous step's qacc — MuJoCo's qacc_warmstart
+        # semantics (mj_forward starts the constraint solver there). On easy
+        # states it changes nothing, but on hard multi-contact states the cold
+        # solver needs ~14 Newton iterations where the warm one converges in
+        # ≤10 (measured at go2 tumble step 136: cold it=10 qacc err 25.8 vs
+        # warm 4e-11) — without it, long-horizon parity breaks at 1e-3.
         con_mu = runtime_con_mu(m, state.geom_friction)
         qp, qv, fwd = engine.step(m, state.qpos, state.qvel, ctrl,
                                   qfrc_applied=qfrc_applied,
+                                  warmstart=state.qacc,
                                   solver_iterations=self.solver_iterations,
                                   con_mu=con_mu,
                                   max_contacts=self.max_contacts)

@@ -408,7 +408,7 @@ def _call(nv, ns, C, Bp, iterations, interpret):
 
 
 def solve_batched_bt(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
-                     iterations: int = 10):
+                     warmstart=None, iterations: int = 10):
     """Batch-leading in/out; fused batch-trailing kernel inside.
 
     Falls back to the vmapped XLA solver off-TPU or when the model has no cone
@@ -422,7 +422,7 @@ def solve_batched_bt(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
     use_kernel = (((on_tpu and ENABLE) or INTERPRET)
                   and a_smooth.dtype == jnp.float32 and ns > 0 and C > 0)
     if not use_kernel:
-        if XLA_FALLBACK == 'bt':
+        if XLA_FALLBACK == 'bt' and warmstart is None:
             # batch-trailing XLA solver (physics/solver.py solve_batched):
             # same math, env axis minor. Measured SLOWER than the vmapped
             # solver on v5e (130 vs 61 ms/step at B=4096) — the contractions
@@ -430,8 +430,12 @@ def solve_batched_bt(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
             # study; 'vmap' is the production path.
             return _solver.solve_batched(m, lay, M, a_smooth, efc,
                                          iterations=iterations)
-        return jax.vmap(lambda Mi, ai, ei: _solver.solve(
-            m, lay, Mi, ai, ei, iterations=iterations))(M, a_smooth, efc)
+        if warmstart is None:
+            return jax.vmap(lambda Mi, ai, ei: _solver.solve(
+                m, lay, Mi, ai, ei, iterations=iterations))(M, a_smooth, efc)
+        return jax.vmap(lambda Mi, ai, ei, wi: _solver.solve(
+            m, lay, Mi, ai, ei, warmstart=wi, iterations=iterations))(
+                M, a_smooth, efc, warmstart)
 
     nv = a_smooth.shape[1]
     Bp = ((B + _CHUNK - 1) // _CHUNK) * _CHUNK

@@ -95,8 +95,8 @@ _NCON_TABLE = {
     (GEOM_PLANE, GEOM_CYLINDER): 3,
     (GEOM_BOX, GEOM_SPHERE): 1,
     (GEOM_BOX, GEOM_CAPSULE): 2,
-    (GEOM_HFIELD, GEOM_SPHERE): 1,
-    (GEOM_HFIELD, GEOM_CAPSULE): 2,
+    (GEOM_HFIELD, GEOM_SPHERE): 8,
+    (GEOM_HFIELD, GEOM_CAPSULE): 16,
 }
 
 
@@ -261,28 +261,164 @@ def hfield_height(m: Model, x, y, dtype):
     return h * sz[2]  # elevation above hfield base
 
 
-def _hfield_sphere(m: Model, hpos, hmat, center, radius):
-    """Sphere vs heightfield: local surface-plane approximation from the bilinear
-    patch under the sphere (exact prism collision deferred; adequate at hfield
-    resolutions ≥ foot radius)."""
+def _closest_point_triangle(p, a, b, c):
+    """Closest point on triangle (a, b, c) to point p (Ericson RTCD §5.1.5),
+    branch-free with jnp.where selections."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.dot(ab, ap)
+    d2 = jnp.dot(ac, ap)
+    bp = p - b
+    d3 = jnp.dot(ab, bp)
+    d4 = jnp.dot(ac, bp)
+    cp = p - c
+    d5 = jnp.dot(ab, cp)
+    d6 = jnp.dot(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom_in = jnp.maximum(va + vb + vc, 1e-30)
+    v_in = vb / denom_in
+    w_in = vc / denom_in
+    q_face = a + ab * v_in + ac * w_in
+
+    v_ab = jnp.clip(d1 / jnp.where(d1 - d3 == 0, 1.0, d1 - d3), 0.0, 1.0)
+    q_ab = a + v_ab * ab
+    w_ac = jnp.clip(d2 / jnp.where(d2 - d6 == 0, 1.0, d2 - d6), 0.0, 1.0)
+    q_ac = a + w_ac * ac
+    t_bc = jnp.clip((d4 - d3) / jnp.where((d4 - d3) + (d5 - d6) == 0, 1.0,
+                                          (d4 - d3) + (d5 - d6)), 0.0, 1.0)
+    q_bc = b + t_bc * (c - b)
+
+    # region tests, applied in Ericson's order via nested where (later branches
+    # only apply when earlier conditions fail)
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+
+    q = q_face
+    q = jnp.where(on_bc, q_bc, q)
+    q = jnp.where(on_ac, q_ac, q)
+    q = jnp.where(on_ab, q_ab, q)
+    q = jnp.where(in_c, c, q)
+    q = jnp.where(in_b, b, q)
+    q = jnp.where(in_a, a, q)
+    in_face = ~(in_a | in_b | in_c | on_ab | on_ac | on_bc)
+    return q, in_face
+
+
+def _sphere_triangle(center, radius, a, b, c):
+    """(dist, pos, n) of a sphere against one triangle, MuJoCo conventions:
+    n points from the triangle toward the sphere.
+
+    Sign rule (matches the prism solid the triangle caps): when the closest
+    point lies in the FACE region the distance is signed by the (upward)
+    triangle normal — a center below the face is inside the prism and reports
+    penetration; when the closest point is an edge/vertex the distance is
+    unsigned — a center below the plane but outside the footprint is NOT
+    inside this prism (verified against MuJoCo: an off-footprint sphere under
+    a neighboring cell's plane must not collide)."""
+    q, in_face = _closest_point_triangle(center, a, b, c)
+    n_tri = jnp.cross(b - a, c - a)
+    n_tri = n_tri / jnp.maximum(jnp.linalg.norm(n_tri), 1e-30)
+    dvec = center - q
+    dlen = jnp.linalg.norm(dvec)
+    side = jnp.sign(jnp.dot(dvec, n_tri))
+    side = jnp.where((side == 0) | ~in_face, 1.0, side)
+    n = jnp.where(dlen > 1e-12, side * dvec / jnp.maximum(dlen, 1e-12), n_tri)
+    dist = side * dlen - radius
+    pos = center - n * (radius + 0.5 * dist)
+    return dist, pos, n
+
+
+def _hfield_sphere(m: Model, hpos, hmat, center, radius, margin=0.0):
+    """Sphere vs heightfield: exact sphere-vs-triangle contacts against the
+    2×2 cell neighborhood under the center (8 slots = 4 cells × 2 triangles).
+
+    MuJoCo splits each cell into two triangular prisms along the main diagonal
+    (c, r) → (c+1, r+1) and collides the sphere with EVERY overlapped prism
+    separately, so the contact multiplicity varies with position — 1 mid-face,
+    2 on a cell diagonal, up to 6 on a grid vertex (probed empirically; the
+    multiplicity changes the effective contact stiffness and is parity-
+    relevant). The 2×2 neighborhood chosen from the sphere's AABB reproduces
+    that exactly while r ≤ half a cell. Not reproduced: the horizontal
+    side-wall normals MuJoCo reports for deeply-embedded centers (transient
+    tumble states only).
+
+    Margin bias: MuJoCo's convex hfield pipeline reports dist DEEPER than the
+    geometric value by margin·(0.5 + n_z) and shifts pos accordingly when the
+    pair margin is nonzero (empirically fitted to ≲2e-6 over face and edge
+    contacts at margins 0.001/0.002 — the prism tops are raised by the margin
+    and the sphere inflated by margin/2, with no compensation of the reported
+    dist). The robots' foot geoms ship margin=0.001, so parity on hfield
+    scenes requires reproducing the bias."""
     dtype = center.dtype
     local = hmat.T @ (center - hpos)
-    eps = jnp.asarray(1e-4, dtype)
-    h0 = hfield_height(m, local[0], local[1], dtype)
-    hx = hfield_height(m, local[0] + eps, local[1], dtype)
-    hy = hfield_height(m, local[0], local[1] + eps, dtype)
-    # surface normal from gradient
-    n_local = jnp.stack([-(hx - h0) / eps, -(hy - h0) / eps, jnp.ones((), dtype)])
-    n_local = n_local / jnp.linalg.norm(n_local)
-    d = (local[2] - h0) * n_local[2] - radius
-    n = hmat @ n_local
-    pos = center - n * (radius + 0.5 * d)
-    return d[None], pos[None], n[None]
+    sz = jnp.asarray(m.hfield_size, dtype)
+    nr, nc = m.hfield_nrow, m.hfield_ncol
+    data = jnp.asarray(m.hfield_data, dtype)  # (nrow, ncol) in [0, 1]
+
+    fx = (local[0] / sz[0] + 1.0) * 0.5 * (nc - 1)
+    fy = (local[1] / sz[1] + 1.0) * 0.5 * (nr - 1)
+    # cells per unit local length
+    rx = radius / sz[0] * 0.5 * (nc - 1)
+    ry = radius / sz[1] * 0.5 * (nr - 1)
+    i0 = jnp.clip(jnp.floor(fx - rx).astype(jnp.int32), 0, nc - 2)
+    j0 = jnp.clip(jnp.floor(fy - ry).astype(jnp.int32), 0, nr - 2)
+    # second cell of the AABB span; == first at grid borders → masked dup
+    i1 = jnp.clip(jnp.floor(fx + rx).astype(jnp.int32), 0, nc - 2)
+    j1 = jnp.clip(jnp.floor(fy + ry).astype(jnp.int32), 0, nr - 2)
+
+    def corner(jj, ii):
+        x = (ii.astype(dtype) / (nc - 1) * 2.0 - 1.0) * sz[0]
+        y = (jj.astype(dtype) / (nr - 1) * 2.0 - 1.0) * sz[1]
+        return jnp.stack([x, y, data[jj, ii] * sz[2]])
+
+    ds, ps, ns = [], [], []
+    far = jnp.asarray(1e6, dtype)
+    for jj, j_dup in ((j0, None), (j1, j0)):
+        for ii, i_dup in ((i0, None), (i1, i0)):
+            # a duplicated cell (clamped AABB at grid borders) must not
+            # double-count
+            is_dup = jnp.zeros((), bool)
+            if i_dup is not None and j_dup is not None:
+                # (i1, j1) already covered by (i0, j1) when i1==i0 and by
+                # (i1, j0) when j1==j0 — either collapse makes it a duplicate
+                is_dup = (ii == i_dup) | (jj == j_dup)
+            elif i_dup is not None:
+                is_dup = ii == i_dup
+            elif j_dup is not None:
+                is_dup = jj == j_dup
+            v00 = corner(jj, ii)
+            v10 = corner(jj, ii + 1)
+            v01 = corner(jj + 1, ii)
+            v11 = corner(jj + 1, ii + 1)
+            # main-diagonal split, wound CCW from +z so n_tri points up
+            for tri in ((v00, v10, v11), (v00, v11, v01)):
+                d_t, p_t, n_t = _sphere_triangle(local, radius, *tri)
+                d_t = d_t - margin * (0.5 + n_t[2])
+                p_t = local - n_t * (radius + 0.5 * margin + 0.5 * d_t)
+                ds.append(jnp.where(is_dup, far, d_t))
+                ps.append(p_t)
+                ns.append(n_t)
+
+    d = jnp.stack(ds)
+    pos_local = jnp.stack(ps)
+    n_local = jnp.stack(ns)
+    pos = pos_local @ hmat.T + hpos[None, :]
+    n = n_local @ hmat.T
+    return d, pos, n
 
 
-def _hfield_capsule(m, hpos, hmat, cpos, cmat, radius, halflen):
+def _hfield_capsule(m, hpos, hmat, cpos, cmat, radius, halflen, margin=0.0):
     axis = cmat[:, 2]
-    outs = [_hfield_sphere(m, hpos, hmat, cpos + axis * (s * halflen), radius)
+    outs = [_hfield_sphere(m, hpos, hmat, cpos + axis * (s * halflen), radius,
+                           margin)
             for s in (1.0, -1.0)]
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]),
@@ -352,32 +488,37 @@ def collide(m: Model, kin) -> Contacts:
         p1, R1 = kin.geom_xpos[g1], kin.geom_xmat[g1]
         p2, R2 = kin.geom_xpos[g2], kin.geom_xmat[g2]
         s1, s2 = size[g1], size[g2]
+        marg = jnp.asarray(np.array([s.margin for s in specs[i:j]]), dtype)
 
         if t1 == GEOM_PLANE and t2 == GEOM_SPHERE:
-            fn = lambda p1, R1, p2, R2, s1, s2: _plane_sphere(p1, R1, p2, s2[0])
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _plane_sphere(
+                p1, R1, p2, s2[0])
         elif t1 == GEOM_PLANE and t2 == GEOM_CAPSULE:
-            fn = lambda p1, R1, p2, R2, s1, s2: _plane_capsule(
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _plane_capsule(
                 p1, R1, p2, R2, s2[0], s2[1])
         elif t1 == GEOM_PLANE and t2 == GEOM_BOX:
-            fn = lambda p1, R1, p2, R2, s1, s2: _plane_box(p1, R1, p2, R2, s2)
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _plane_box(
+                p1, R1, p2, R2, s2)
         elif t1 == GEOM_PLANE and t2 == GEOM_CYLINDER:
-            fn = lambda p1, R1, p2, R2, s1, s2: _plane_cylinder(
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _plane_cylinder(
                 p1, R1, p2, R2, s2[0], s2[1])
         elif t1 == GEOM_BOX and t2 == GEOM_SPHERE:
-            fn = lambda p1, R1, p2, R2, s1, s2: _box_sphere(p1, R1, s1, p2, s2[0])
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _box_sphere(
+                p1, R1, s1, p2, s2[0])
         elif t1 == GEOM_BOX and t2 == GEOM_CAPSULE:
-            fn = lambda p1, R1, p2, R2, s1, s2: _box_capsule(
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _box_capsule(
                 p1, R1, s1, p2, R2, s2[0], s2[1])
         elif t1 == GEOM_HFIELD and t2 == GEOM_SPHERE:
-            fn = lambda p1, R1, p2, R2, s1, s2: _hfield_sphere(
-                m, p1, R1, p2, s2[0])
+            # the margin bias rides the convex hfield pipeline only
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_sphere(
+                m, p1, R1, p2, s2[0], mg)
         elif t1 == GEOM_HFIELD and t2 == GEOM_CAPSULE:
-            fn = lambda p1, R1, p2, R2, s1, s2: _hfield_capsule(
-                m, p1, R1, p2, R2, s2[0], s2[1])
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_capsule(
+                m, p1, R1, p2, R2, s2[0], s2[1], mg)
         else:  # pragma: no cover - layout filters unsupported pairs
             raise AssertionError((t1, t2))
 
-        d, p, n = jax.vmap(fn)(p1, R1, p2, R2, s1, s2)  # (G, k, ...)
+        d, p, n = jax.vmap(fn)(p1, R1, p2, R2, s1, s2, marg)  # (G, k, ...)
         dists.append(d.reshape(-1))
         poss.append(p.reshape(-1, 3))
         normals.append(n.reshape(-1, 3))

@@ -160,7 +160,7 @@ def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
 
 
 def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
-                 solver_iterations: int = 10, con_mu=None,
+                 warmstart=None, solver_iterations: int = 10, con_mu=None,
                  max_contacts: int = MAX_CONE_CONTACTS):
     """Batch-level mj_step: identical math to vmap(step) but the Newton
     constraint solve runs as ONE fused Pallas kernel per batch chunk
@@ -182,7 +182,8 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
 
     lay = constraint_layout(m)
     qacc, f_simple, f_cone, qfrc_constraint = newton_bt.solve_batched_bt(
-        m, lay, M, qacc_smooth, efc, iterations=solver_iterations)
+        m, lay, M, qacc_smooth, efc, warmstart=warmstart,
+        iterations=solver_iterations)
     C_all = len(lay.cone_slots)
     if f_cone.shape[1] < C_all:
         f_cone = jax.vmap(

@@ -322,9 +322,23 @@ def _cone_quad_rows(cJ, rows):
 # Newton solve
 # ---------------------------------------------------------------------------------
 
+# Convergence tolerance on the accepted Newton step, relative to |qacc|:
+# MuJoCo's Newton terminates on scaled improvement/gradient < tolerance
+# (engine_solver.c, default 1e-8); the step norm is the analogous quadratic-
+# convergence measure and is dtype-aware (f32 cannot resolve 1e-8 relative).
+_TOL = {jnp.dtype('float32'): 1e-6, jnp.dtype('float64'): 1e-10}
+
+
 def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
           warmstart=None, iterations: int = 10, ls_iterations: int = 6):
-    """Returns (qacc, f_simple, f_cone, qfrc_constraint)."""
+    """Returns (qacc, f_simple, f_cone, qfrc_constraint).
+
+    `iterations` is the Newton iteration CAP: the loop exits early (per
+    lax.while_loop batching: a converged env's carry freezes while the rest
+    continue) once the accepted step is below _TOL·(1+|qacc|∞) — with the
+    qacc warm start threaded by the env layer, typical locomotion steps
+    converge in 2-5 iterations, so the cap only binds on hard multi-contact
+    states."""
     dtype = a_smooth.dtype
     nv = a_smooth.shape[0]
     ns = efc.J.shape[0]
@@ -356,13 +370,15 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         D_c = jnp.zeros((0, 6), dtype)
 
     a0 = a_smooth if warmstart is None else warmstart
+    tol = jnp.asarray(_TOL.get(jnp.dtype(dtype), 1e-6), dtype)
 
     def forces(us, uc):
         fs = simple_force(us, D_s, fl, unilateral)
         fc = cone_force(uc, D_c, mu, dim_mask)
         return fs, fc
 
-    def newton_iter(_, a):
+    def newton_iter(carry):
+        a, it, _ = carry
         us = _mv(efc.J, a) - efc.aref
         uc = (_cmv(efc.con_J, a) - efc.con_aref
               if C else jnp.zeros((0, 6), dtype))
@@ -432,11 +448,14 @@ def solve(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
 
         lo, hi = jax.lax.fori_loop(0, ls_iterations, bisect, (lo, hi))
         t = 0.5 * (lo + hi)
-        # descent is guaranteed along a Newton direction of a convex function;
-        # guard against a zero direction (already converged)
-        return a + t * p
+        step = t * p
+        a_new = a + step
+        done = jnp.max(jnp.abs(step)) < tol * (1.0 + jnp.max(jnp.abs(a_new)))
+        return a_new, it + 1, done
 
-    a = jax.lax.fori_loop(0, iterations, newton_iter, a0)
+    a, _, _ = jax.lax.while_loop(
+        lambda c: (c[1] < iterations) & ~c[2], newton_iter,
+        (a0, jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
 
     us = _mv(efc.J, a) - efc.aref
     uc = (_cmv(efc.con_J, a) - efc.con_aref

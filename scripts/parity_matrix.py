@@ -44,13 +44,19 @@ def run_combo(robot, scene, n_steps=200, amp=2.0):
     ctrl_seq = rng.uniform(-amp, amp, (n_steps, mj.nu))
     qpos = jnp.asarray(d.qpos.copy())
     qvel = jnp.asarray(d.qvel.copy())
-    step = jax.jit(lambda qp, qv, c: engine.step(model, qp, qv, c)[:2])
+    # thread qacc warmstart across steps exactly like MuJoCo's qacc_warmstart
+    warm = jnp.asarray(d.qacc_warmstart.copy())
+
+    @jax.jit
+    def step(qp, qv, c, w):
+        qp2, qv2, fwd = engine.step(model, qp, qv, c, warmstart=w)
+        return qp2, qv2, fwd.qacc
 
     err, err_at = 0.0, -1
     for t in range(n_steps):
         d.ctrl[:] = ctrl_seq[t]
         mujoco.mj_step(mj, d)
-        qpos, qvel = step(qpos, qvel, jnp.asarray(ctrl_seq[t]))
+        qpos, qvel, warm = step(qpos, qvel, jnp.asarray(ctrl_seq[t]), warm)
         e = float(np.max(np.abs(np.asarray(qpos) - d.qpos)))
         if e > err:
             err, err_at = e, t
@@ -63,6 +69,19 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     combos = [a.split('/') for a in sys.argv[2:]] or \
         [(r, s) for r in ROBOTS for s in SCENES]
+    if len(combos) > 1:
+        # one subprocess per combo: LLVM's CPU JIT exhausts code memory when a
+        # single process accumulates all 18 big x64 programs
+        import subprocess
+        for robot, scene in combos:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(n_steps),
+                 f'{robot}/{scene}'], capture_output=True, text=True)
+            out = (r.stdout or '').strip()
+            print(out if out else
+                  f'ERR  {robot:14s} {scene:14s} rc={r.returncode} '
+                  f'{(r.stderr or "").strip()[-200:]}', flush=True)
+        return
     for robot, scene in combos:
         try:
             err, at = run_combo(robot, scene, n_steps)
