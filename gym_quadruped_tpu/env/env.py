@@ -285,7 +285,7 @@ class QuadrupedEnv:
         m = self.model
         lay = constraint_layout(m)
         foot_slot = jnp.asarray(np.any(np.asarray(feet_slot_mask(m)) > 0, axis=0))
-        margin = jnp.asarray(lay.con_margin, qpos.dtype)
+        margin = jnp.asarray(lay.con_incl, qpos.dtype)
         if foot_slot.shape[0] == 0:
             return qpos
 
@@ -434,7 +434,7 @@ class QuadrupedEnv:
         if cs.size == 0 or cs.size <= self.max_contacts:
             return jnp.zeros((), jnp.int32)
         dtype = fwd.contacts.dist.dtype
-        margin = jnp.asarray(np.asarray(lay.con_margin)[cs], dtype)
+        margin = jnp.asarray(np.asarray(lay.con_incl)[cs], dtype)
         touching = jnp.sum((fwd.contacts.dist[cs] < margin).astype(jnp.int32))
         return jnp.maximum(touching - self.max_contacts, 0)
 

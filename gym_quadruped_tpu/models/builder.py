@@ -188,6 +188,41 @@ def load_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002) -> Model:
     return build_model(robot, scene, sim_dt)
 
 
+def _reachable_pairs(m, candidates, n_samples: int = 4000,
+                     safety: float = 0.05, seed: int = 0):
+    """Self-collision pairs whose bounding spheres can come within `safety`
+    over sampled joint configurations (build-time static broadphase).
+
+    Joint positions are sampled uniformly over the joint ranges (full ±π for
+    unlimited hinges) with the free joint pinned — self-distances are
+    base-pose invariant. Conservative in two ways: geom bounding radii
+    (geom_rbound) instead of exact shapes, plus the 5 cm safety margin."""
+    import mujoco
+
+    d = mujoco.MjData(m)
+    rng = np.random.RandomState(seed)
+    g1 = np.array([c[0] for c in candidates])
+    g2 = np.array([c[1] for c in candidates])
+    rsum = m.geom_rbound[g1] + m.geom_rbound[g2] + safety
+    min_gap = np.full(len(candidates), np.inf)
+
+    lo = m.jnt_range[:, 0].copy()
+    hi = m.jnt_range[:, 1].copy()
+    unlimited = ~m.jnt_limited.astype(bool)
+    lo[unlimited] = -np.pi
+    hi[unlimited] = np.pi
+    for _ in range(n_samples):
+        d.qpos[:] = m.qpos0
+        for j in range(m.njnt):
+            if m.jnt_type[j] == 3:  # hinge
+                d.qpos[m.jnt_qposadr[j]] = rng.uniform(lo[j], hi[j])
+        mujoco.mj_kinematics(m, d)
+        gap = np.linalg.norm(d.geom_xpos[g1] - d.geom_xpos[g2], axis=1) - rsum
+        np.minimum(min_gap, gap, out=min_gap)
+    keep = [c for c, gp in zip(candidates, min_gap) if gp < 0]
+    return keep
+
+
 def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
     """Copy every field the engine needs out of a compiled mjModel."""
     import mujoco
@@ -229,9 +264,10 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
     imu_site_id = site_names.index(cfg.imu_site_name) if (
         cfg.imu_site_name in site_names) else -1
 
-    # Static candidate contact pairs: world geoms × robot geoms, MuJoCo's
-    # contype/conaffinity compatibility test. Mesh robot geoms are excluded for now
-    # (foot spheres + primitive leg geoms cover the shipped robots' ground contact).
+    # Static candidate contact pairs. Mesh robot geoms are excluded for now
+    # (foot spheres + primitive leg geoms cover the shipped robots' contacts).
+    # (a) world geoms × robot geoms (stored world-first), MuJoCo's
+    #     contype/conaffinity compatibility test.
     pairs = []
     for gw in range(m.ngeom):
         if m.geom_bodyid[gw] != 0:
@@ -243,6 +279,36 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
                      (m.geom_contype[gr] & m.geom_conaffinity[gw])
             if compat:
                 pairs.append((gw, gr))
+    # (b) robot-robot (self-collision) pairs, MuJoCo's mj_collision filter:
+    #     skip same body and parent-child bodies (filterparent default),
+    #     contype/conaffinity mask. Stored with geom_type[g1] <= geom_type[g2]
+    #     so the narrow phase dispatches on a canonical type order.
+    #     Statically unreachable pairs are pruned (shapes must stay static, so
+    #     MuJoCo's dynamic broadphase becomes a build-time reachability test):
+    #     sample joint configurations over the joint ranges and drop pairs
+    #     whose bounding spheres never come within 5 cm across all samples.
+    self_candidates = []
+    for ga in range(m.ngeom):
+        ba = int(m.geom_bodyid[ga])
+        if ba == 0 or m.geom_type[ga] == GEOM_MESH:
+            continue
+        for gb in range(ga + 1, m.ngeom):
+            bb = int(m.geom_bodyid[gb])
+            if bb == 0 or m.geom_type[gb] == GEOM_MESH or ba == bb:
+                continue
+            if int(m.body_parentid[ba]) == bb or int(m.body_parentid[bb]) == ba:
+                continue
+            compat = (m.geom_contype[ga] & m.geom_conaffinity[gb]) or \
+                     (m.geom_contype[gb] & m.geom_conaffinity[ga])
+            if not compat:
+                continue
+            if int(m.geom_type[ga]) <= int(m.geom_type[gb]):
+                self_candidates.append((ga, gb))
+            else:
+                self_candidates.append((gb, ga))
+    if self_candidates:
+        reachable = _reachable_pairs(m, self_candidates)
+        pairs.extend(reachable)
     contact_pairs = np.array(pairs, np.int32).reshape(-1, 2)
 
     nkey = max(m.nkey, 0)

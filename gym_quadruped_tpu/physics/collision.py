@@ -89,6 +89,7 @@ def _combine_params(m: Model, g1: int, g2: int) -> tuple:
 
 
 _NCON_TABLE = {
+    # world (geom1) vs robot (geom2) — geom1 order follows the world geom
     (GEOM_PLANE, GEOM_SPHERE): 1,
     (GEOM_PLANE, GEOM_CAPSULE): 2,
     (GEOM_PLANE, GEOM_BOX): 4,
@@ -97,6 +98,19 @@ _NCON_TABLE = {
     (GEOM_BOX, GEOM_CAPSULE): 2,
     (GEOM_HFIELD, GEOM_SPHERE): 8,
     (GEOM_HFIELD, GEOM_CAPSULE): 16,
+    (GEOM_HFIELD, GEOM_BOX): 4,
+    (GEOM_HFIELD, GEOM_CYLINDER): 4,
+    # robot-robot (self-collision) pairs, stored with type1 ≤ type2
+    (GEOM_SPHERE, GEOM_SPHERE): 1,
+    (GEOM_SPHERE, GEOM_CAPSULE): 1,
+    (GEOM_SPHERE, GEOM_CYLINDER): 1,
+    (GEOM_SPHERE, GEOM_BOX): 1,
+    (GEOM_CAPSULE, GEOM_CAPSULE): 1,
+    (GEOM_CAPSULE, GEOM_CYLINDER): 1,
+    (GEOM_CAPSULE, GEOM_BOX): 2,
+    (GEOM_CYLINDER, GEOM_CYLINDER): 1,
+    (GEOM_CYLINDER, GEOM_BOX): 2,
+    (GEOM_BOX, GEOM_BOX): 4,
 }
 
 
@@ -160,6 +174,24 @@ _BOX_CORNER_SIGNS = np.array(
      [-1, -1, 1], [1, -1, 1], [-1, 1, 1], [1, 1, 1]], np.float64)
 
 
+def _deepest_k(d, pos, n, k):
+    """Select the k smallest-dist candidates from (c,), (c, 3), (c, 3) —
+    branch-free iterative min extraction. jax.lax.top_k lowers to a full sort,
+    which is pathologically slow replicated over hundreds of pairs × 4096
+    envs; k masked-min passes are pure VPU work."""
+    ds, ps, ns = [], [], []
+    big = jnp.asarray(1e9, d.dtype)
+    for _ in range(k):
+        dmin = jnp.min(d)
+        is_min = (d == dmin).astype(d.dtype)
+        first = jnp.where(jnp.cumsum(is_min) * is_min == 1.0, 1.0, 0.0)
+        ds.append(dmin)
+        ps.append(jnp.sum(first[:, None] * pos, axis=0))
+        ns.append(jnp.sum(first[:, None] * n, axis=0))
+        d = d + first * big
+    return jnp.stack(ds), jnp.stack(ps), jnp.stack(ns)
+
+
 def _plane_box(ppos, pmat, bpos, bmat, size):
     """4 deepest corners of the box vs the plane (MuJoCo keeps ≤4 corner contacts).
 
@@ -175,9 +207,9 @@ def _plane_box(ppos, pmat, bpos, bmat, size):
     signs = jnp.asarray(_BOX_CORNER_SIGNS, n.dtype)       # (8, 3)
     depths = center_d + signs @ d_axis                    # (8,)
     corners = bpos[None, :] + (signs * size[None, :]) @ bmat.T  # (8, 3)
-    neg_top, idx = jax.lax.top_k(-depths, 4)
-    d4 = -neg_top
-    pos = corners[idx] - 0.5 * d4[:, None] * n[None, :]
+    d4, c4, _ = _deepest_k(depths, corners,
+                           jnp.broadcast_to(n, corners.shape), 4)
+    pos = c4 - 0.5 * d4[:, None] * n[None, :]
     return d4, pos, jnp.broadcast_to(n, (4, 3))
 
 
@@ -206,22 +238,28 @@ def _plane_cylinder(ppos, pmat, cpos, cmat, radius, halflen):
 
 
 def _box_sphere(bpos, bmat, size, center, radius):
-    """Sphere vs box: closest-point; handles center-inside-box."""
+    """Sphere vs box: closest-point; handles center-inside-box.
+
+    Branch-free: the inside-branch axis selection is a one-hot comparison mask
+    (argmin + .at[].set lower to scatters, which are pathologically slow at
+    B=4096 × hundreds of box pairs on TPU)."""
     local = bmat.T @ (center - bpos)
     clamped = jnp.clip(local, -size, size)
     delta = local - clamped
     dist_out = jnp.linalg.norm(delta)
     inside = dist_out < 1e-12
-    # inside: push out along the axis of least penetration
+    # inside: push out along the axis of least penetration (first-min one-hot)
     depth = size - jnp.abs(local)
-    ax = jnp.argmin(depth)
-    sign = jnp.where(local[ax] >= 0, 1.0, -1.0)
-    n_in = jnp.zeros(3, local.dtype).at[ax].set(sign)
-    surf_in = local.at[ax].set(sign * size[ax])
+    dmin = jnp.min(depth)
+    is_min = (depth == dmin).astype(local.dtype)
+    first = jnp.where(jnp.cumsum(is_min) * is_min == 1.0, 1.0, 0.0)
+    sign = jnp.where(local >= 0, 1.0, -1.0)
+    n_in = first * sign
+    surf_in = jnp.where(first > 0, sign * size, local)
     n_out = delta / jnp.maximum(dist_out, 1e-12)
     n_local = jnp.where(inside, n_in, n_out)
     surface_local = jnp.where(inside, surf_in, clamped)
-    d = jnp.where(inside, -(depth[ax] + radius), dist_out - radius)
+    d = jnp.where(inside, -(dmin + radius), dist_out - radius)
     n = bmat @ n_local
     surface = bmat @ surface_local + bpos
     pos = surface + 0.5 * d * n
@@ -237,6 +275,240 @@ def _box_capsule(bpos, bmat, size, cpos, cmat, radius, halflen):
     p = jnp.concatenate([o[1] for o in outs])
     n = jnp.concatenate([o[2] for o in outs])
     return d, p, n
+
+
+# ------------------------------------------------------------------------------
+# self-collision primitives (robot-robot pairs; normal points geom1 → geom2)
+# ------------------------------------------------------------------------------
+
+def _sphere_sphere(p1, r1, p2, r2):
+    d12 = p2 - p1
+    dlen = jnp.linalg.norm(d12)
+    n = jnp.where(dlen > 1e-12, d12 / jnp.maximum(dlen, 1e-12),
+                  jnp.asarray([0.0, 0.0, 1.0], p1.dtype))
+    dist = dlen - r1 - r2
+    pos = p1 + n * (r1 + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def _closest_on_segment(p, a, b):
+    ab = b - a
+    t = jnp.clip(jnp.dot(p - a, ab) / jnp.maximum(jnp.dot(ab, ab), 1e-30),
+                 0.0, 1.0)
+    return a + t * ab
+
+
+def _sphere_capsule(c, r_s, cpos, cmat, r_c, halflen):
+    axis = cmat[:, 2]
+    q = _closest_on_segment(c, cpos - axis * halflen, cpos + axis * halflen)
+    return _sphere_sphere(c, r_s, q, r_c)
+
+
+def _segment_segment(a1, b1, a2, b2):
+    """Closest points between segments (a1,b1) and (a2,b2) (Ericson §5.1.9)."""
+    d1 = b1 - a1
+    d2 = b2 - a2
+    r = a1 - a2
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-14, jnp.clip((b * f - c * e) / jnp.maximum(
+        denom, 1e-14), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-30)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(t != t_cl,
+                  jnp.clip((t_cl * b - c) / jnp.maximum(a, 1e-30), 0.0, 1.0), s)
+    p1 = a1 + d1 * s
+    p2 = a2 + d2 * t_cl
+    return p1, p2
+
+
+def _capsule_capsule(p1, R1, r1, h1, p2, R2, r2, h2):
+    ax1 = R1[:, 2]
+    ax2 = R2[:, 2]
+    q1, q2 = _segment_segment(p1 - ax1 * h1, p1 + ax1 * h1,
+                              p2 - ax2 * h2, p2 + ax2 * h2)
+    return _sphere_sphere(q1, r1, q2, r2)
+
+
+def _sphere_cylinder(c, r_s, cpos, cmat, R_c, halflen):
+    """Sphere vs cylinder solid: closest point on the capped cylinder surface
+    (side / flat cap / rim regions), analytic like MuJoCo's SphereCylinder."""
+    axis = cmat[:, 2]
+    rel = c - cpos
+    a = jnp.dot(rel, axis)                      # axial coordinate
+    radial = rel - a * axis
+    rlen = jnp.linalg.norm(radial)
+    rdir = jnp.where(rlen > 1e-12, radial / jnp.maximum(rlen, 1e-12),
+                     cmat[:, 0])
+    a_cl = jnp.clip(a, -halflen, halflen)
+    r_cl = jnp.minimum(rlen, R_c)
+    inside = (jnp.abs(a) < halflen) & (rlen < R_c)
+    # outside: clamp to the surface; the clamped point is on side/cap/rim
+    q_out = cpos + axis * a_cl + rdir * r_cl
+    # inside: push to the nearer of side wall vs caps
+    d_side = R_c - rlen
+    d_cap = halflen - jnp.abs(a)
+    q_side = cpos + axis * a + rdir * R_c
+    q_cap = cpos + axis * (jnp.sign(a) * halflen) + rdir * rlen
+    q_in = jnp.where(d_side < d_cap, q_side, q_cap)
+    q = jnp.where(inside, q_in, q_out)
+    dvec = c - q
+    dlen = jnp.linalg.norm(dvec)
+    n_out = jnp.where(dlen > 1e-12, -dvec / jnp.maximum(dlen, 1e-12), -axis)
+    # inside: normal points from sphere center toward the surface exit
+    n_in = jnp.where(dlen > 1e-12, dvec / jnp.maximum(dlen, 1e-12), axis)
+    # normal points geom1(sphere) → geom2(cylinder)
+    n = jnp.where(inside, n_in, n_out)
+    dist = jnp.where(inside, -(dlen + r_s), dlen - r_s)
+    pos = c + n * (r_s + 0.5 * dist)
+    return dist[None], pos[None], n[None]
+
+
+def _points_in_box_local(pts, size):
+    """Point-vs-box in the box's LOCAL frame, vectorized over (k, 3) points.
+    Returns (dist (k,), surface point (k, 3), outward normal (k, 3)) — all
+    elementwise (no per-point matmuls, no scatters)."""
+    clamped = jnp.clip(pts, -size[None, :], size[None, :])
+    delta = pts - clamped
+    dist_out = jnp.linalg.norm(delta, axis=1)
+    inside = dist_out < 1e-12
+    depth = size[None, :] - jnp.abs(pts)                   # (k, 3)
+    dmin = jnp.min(depth, axis=1)
+    is_min = (depth == dmin[:, None]).astype(pts.dtype)
+    first = jnp.where(jnp.cumsum(is_min, axis=1) * is_min == 1.0, 1.0, 0.0)
+    sign = jnp.where(pts >= 0, 1.0, -1.0)
+    n_in = first * sign
+    surf_in = jnp.where(first > 0, sign * size[None, :], pts)
+    n_out = delta / jnp.maximum(dist_out, 1e-12)[:, None]
+    n_local = jnp.where(inside[:, None], n_in, n_out)
+    surf = jnp.where(inside[:, None], surf_in, clamped)
+    d = jnp.where(inside, -dmin, dist_out)
+    return d, surf, n_local
+
+
+def _box_box(p1, R1, s1, p2, R2, s2):
+    """Box vs box via corner sampling: the 8 corners of each box tested against
+    the other (16 point-in-box queries), 4 deepest kept. Captures face-corner
+    manifolds (the dominant robot self-contact mode); edge-edge-only crossings
+    are approximated by the nearest corners. MuJoCo uses a dedicated SAT
+    manifold (mjc_BoxBox) — exact parity deferred. All work happens in each
+    box's local frame (two small matmuls per pair) to keep the op graph lean
+    under the 4096-env vmap."""
+    dtype = p1.dtype
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, dtype)          # (8, 3)
+    c1_w = p1[None, :] + (signs * s1[None, :]) @ R1.T      # (8, 3) world
+    c2_w = p2[None, :] + (signs * s2[None, :]) @ R2.T
+
+    # corners of box2 in box1's local frame (normal g1→g2 = outward of box1 ✓)
+    loc2 = (c2_w - p1[None, :]) @ R1
+    d_a, surf_a, nl_a = _points_in_box_local(loc2, s1)
+    pos_a = (surf_a + 0.5 * d_a[:, None] * nl_a) @ R1.T + p1[None, :]
+    n_a = nl_a @ R1.T
+    # corners of box1 in box2's local frame (outward of box2 = g2→g1 → flip)
+    loc1 = (c1_w - p2[None, :]) @ R2
+    d_b, surf_b, nl_b = _points_in_box_local(loc1, s2)
+    pos_b = (surf_b + 0.5 * d_b[:, None] * nl_b) @ R2.T + p2[None, :]
+    n_b = -(nl_b @ R2.T)
+
+    d = jnp.concatenate([d_a, d_b])
+    pos = jnp.concatenate([pos_a, pos_b])
+    n = jnp.concatenate([n_a, n_b])
+    return _deepest_k(d, pos, n, 4)
+
+
+def _box_box_group(p1, R1, s1, p2, R2, s2):
+    """Group-vectorized box-box: same math as _box_box but every intermediate
+    is (G,)-shaped with the PAIR axis minor.
+
+    vmapping the per-pair version puts the pair axis leading, so intermediates
+    come out (B, G, 8, 3) — XLA tile-pads the (8, 3) minor dims to (8, 128),
+    a 42× HBM/VPU bloat that made this one group cost ~200 ms/step at B=4096.
+    Written with static 8-corner/3-axis unrolls over (G,) vectors the same
+    group costs ~2 ms. Returns (d (G, 16), pos (G, 16, 3), n (G, 16, 3)) of
+    ALL candidates; _deepest_k-style selection happens here too (static
+    unroll), emitting (G, 4) slots."""
+    G = p1.shape[0]
+    dtype = p1.dtype
+    P1 = [p1[:, i] for i in range(3)]
+    P2 = [p2[:, i] for i in range(3)]
+    S1 = [s1[:, i] for i in range(3)]
+    S2 = [s2[:, i] for i in range(3)]
+    R1c = [[R1[:, i, j] for j in range(3)] for i in range(3)]
+    R2c = [[R2[:, i, j] for j in range(3)] for i in range(3)]
+    signs = np.asarray(_BOX_CORNER_SIGNS)
+
+    def corners_in(Pa, Ra, Sa, Pb, Rb, Sb):
+        """Corners of box b tested inside box a. Returns lists over 8 corners
+        of (d, pos[3], n[3]) with pos/n in WORLD coordinates (normal outward
+        of box a)."""
+        out = []
+        for c in range(8):
+            # world corner of box b
+            cw = [Pb[i] + sum(Rb[i][j] * (signs[c, j] * Sb[j])
+                              for j in range(3)) for i in range(3)]
+            # into box a local
+            loc = [sum(Ra[i][j] * (cw[i] - Pa[i]) for i in range(3))
+                   for j in range(3)]
+            cl = [jnp.clip(loc[j], -Sa[j], Sa[j]) for j in range(3)]
+            dl = [loc[j] - cl[j] for j in range(3)]
+            d_out = jnp.sqrt(dl[0] * dl[0] + dl[1] * dl[1] + dl[2] * dl[2])
+            inside = d_out < 1e-12
+            dep = [Sa[j] - jnp.abs(loc[j]) for j in range(3)]
+            dmin = jnp.minimum(dep[0], jnp.minimum(dep[1], dep[2]))
+            eq = [dep[j] == dmin for j in range(3)]
+            f0 = eq[0]
+            f1 = eq[1] & ~f0
+            f2 = eq[2] & ~f0 & ~f1
+            first = [f0.astype(dtype), f1.astype(dtype), f2.astype(dtype)]
+            sign_l = [jnp.where(loc[j] >= 0, 1.0, -1.0) for j in range(3)]
+            inv = 1.0 / jnp.maximum(d_out, 1e-12)
+            nl = [jnp.where(inside, first[j] * sign_l[j], dl[j] * inv)
+                  for j in range(3)]
+            sl = [jnp.where(inside,
+                            jnp.where(first[j] > 0, sign_l[j] * Sa[j], loc[j]),
+                            cl[j]) for j in range(3)]
+            d_c = jnp.where(inside, -dmin, d_out)
+            # midpoint surface offset then back to world
+            pl = [sl[j] + 0.5 * d_c * nl[j] for j in range(3)]
+            pw = [Pa[i] + sum(Ra[i][j] * pl[j] for j in range(3))
+                  for i in range(3)]
+            nw = [sum(Ra[i][j] * nl[j] for j in range(3)) for i in range(3)]
+            out.append((d_c, pw, nw))
+        return out
+
+    cands = corners_in(P1, R1c, S1, P2, R2c, S2)
+    for (d_c, pw, nw) in corners_in(P2, R2c, S2, P1, R1c, S1):
+        cands.append((d_c, pw, [-x for x in nw]))  # outward of box2 = g2→g1
+
+    # 4 deepest of the 16 candidates — static unrolled min extraction
+    big = jnp.asarray(1e9, dtype)
+    ds = [c[0] for c in cands]
+    sel_d, sel_p, sel_n = [], [], []
+    for _ in range(4):
+        dmin = ds[0]
+        for dd in ds[1:]:
+            dmin = jnp.minimum(dmin, dd)
+        taken = jnp.zeros_like(dmin, dtype=bool)
+        w = []
+        for dd in ds:
+            hit = (dd == dmin) & ~taken
+            taken = taken | hit
+            w.append(hit.astype(dtype))
+        sel_d.append(dmin)
+        sel_p.append([sum(w[c] * cands[c][1][i] for c in range(16))
+                      for i in range(3)])
+        sel_n.append([sum(w[c] * cands[c][2][i] for c in range(16))
+                      for i in range(3)])
+        ds = [dd + ww * big for dd, ww in zip(ds, w)]
+
+    d = jnp.stack(sel_d, axis=1)                              # (G, 4)
+    pos = jnp.stack([jnp.stack(p, axis=1) for p in sel_p], axis=1)  # (G, 4, 3)
+    n = jnp.stack([jnp.stack(x, axis=1) for x in sel_n], axis=1)
+    return d, pos, n
 
 
 def hfield_height(m: Model, x, y, dtype):
@@ -350,13 +622,14 @@ def _hfield_sphere(m: Model, hpos, hmat, center, radius, margin=0.0):
     side-wall normals MuJoCo reports for deeply-embedded centers (transient
     tumble states only).
 
-    Margin bias: MuJoCo's convex hfield pipeline reports dist DEEPER than the
-    geometric value by margin·(0.5 + n_z) and shifts pos accordingly when the
-    pair margin is nonzero (empirically fitted to ≲2e-6 over face and edge
-    contacts at margins 0.001/0.002 — the prism tops are raised by the margin
-    and the sphere inflated by margin/2, with no compensation of the reported
-    dist). The robots' foot geoms ship margin=0.001, so parity on hfield
-    scenes requires reproducing the bias."""
+    Margin bias: MuJoCo's convex hfield pipeline collides the sphere INFLATED
+    by margin/2 against prisms whose tops are RAISED by margin, and reports
+    that inflated contact uncompensated (probed empirically: face contacts
+    come out dist_exact − margin·(0.5 + n_z), edge normals tilt toward the
+    raised edge, and detection requires the INFLATED dist < 0 — see
+    constraints.ConstraintLayout.con_incl). Reproduced here by running the
+    exact sphere-triangle test on the raised corners with r + margin/2. The
+    robots' foot geoms ship margin=0.001, so hfield parity requires this."""
     dtype = center.dtype
     local = hmat.T @ (center - hpos)
     sz = jnp.asarray(m.hfield_size, dtype)
@@ -365,19 +638,21 @@ def _hfield_sphere(m: Model, hpos, hmat, center, radius, margin=0.0):
 
     fx = (local[0] / sz[0] + 1.0) * 0.5 * (nc - 1)
     fy = (local[1] / sz[1] + 1.0) * 0.5 * (nr - 1)
-    # cells per unit local length
-    rx = radius / sz[0] * 0.5 * (nc - 1)
-    ry = radius / sz[1] * 0.5 * (nr - 1)
+    # cells per unit local length (inflated radius — margin counts)
+    rx = (radius + 0.5 * margin) / sz[0] * 0.5 * (nc - 1)
+    ry = (radius + 0.5 * margin) / sz[1] * 0.5 * (nr - 1)
     i0 = jnp.clip(jnp.floor(fx - rx).astype(jnp.int32), 0, nc - 2)
     j0 = jnp.clip(jnp.floor(fy - ry).astype(jnp.int32), 0, nr - 2)
     # second cell of the AABB span; == first at grid borders → masked dup
     i1 = jnp.clip(jnp.floor(fx + rx).astype(jnp.int32), 0, nc - 2)
     j1 = jnp.clip(jnp.floor(fy + ry).astype(jnp.int32), 0, nr - 2)
 
+    r_eff = radius + 0.5 * margin
+
     def corner(jj, ii):
         x = (ii.astype(dtype) / (nc - 1) * 2.0 - 1.0) * sz[0]
         y = (jj.astype(dtype) / (nr - 1) * 2.0 - 1.0) * sz[1]
-        return jnp.stack([x, y, data[jj, ii] * sz[2]])
+        return jnp.stack([x, y, data[jj, ii] * sz[2] + margin])
 
     ds, ps, ns = [], [], []
     far = jnp.asarray(1e6, dtype)
@@ -400,9 +675,7 @@ def _hfield_sphere(m: Model, hpos, hmat, center, radius, margin=0.0):
             v11 = corner(jj + 1, ii + 1)
             # main-diagonal split, wound CCW from +z so n_tri points up
             for tri in ((v00, v10, v11), (v00, v11, v01)):
-                d_t, p_t, n_t = _sphere_triangle(local, radius, *tri)
-                d_t = d_t - margin * (0.5 + n_t[2])
-                p_t = local - n_t * (radius + 0.5 * margin + 0.5 * d_t)
+                d_t, p_t, n_t = _sphere_triangle(local, r_eff, *tri)
                 ds.append(jnp.where(is_dup, far, d_t))
                 ps.append(p_t)
                 ns.append(n_t)
@@ -423,6 +696,64 @@ def _hfield_capsule(m, hpos, hmat, cpos, cmat, radius, halflen, margin=0.0):
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]),
             jnp.concatenate([o[2] for o in outs]))
+
+
+def _hfield_point_contact(m: Model, local, r_eff, margin, dtype):
+    """Deepest raised-triangle contact for one point of an extended geom:
+    the 2 triangles of the cell under the point, prism tops raised by margin
+    (same inflation the sphere path uses). Returns (dist, pos_local, n_local)."""
+    sz = jnp.asarray(m.hfield_size, dtype)
+    nr, nc = m.hfield_nrow, m.hfield_ncol
+    data = jnp.asarray(m.hfield_data, dtype)
+    fx = (local[0] / sz[0] + 1.0) * 0.5 * (nc - 1)
+    fy = (local[1] / sz[1] + 1.0) * 0.5 * (nr - 1)
+    i = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nc - 2)
+    j = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, nr - 2)
+
+    def corner(jj, ii):
+        x = (ii.astype(dtype) / (nc - 1) * 2.0 - 1.0) * sz[0]
+        y = (jj.astype(dtype) / (nr - 1) * 2.0 - 1.0) * sz[1]
+        return jnp.stack([x, y, data[jj, ii] * sz[2] + margin])
+
+    v00, v10 = corner(j, i), corner(j, i + 1)
+    v01, v11 = corner(j + 1, i), corner(j + 1, i + 1)
+    d1, p1, n1 = _sphere_triangle(local, r_eff, v00, v10, v11)
+    d2, p2, n2 = _sphere_triangle(local, r_eff, v00, v11, v01)
+    take1 = d1 <= d2
+    return (jnp.where(take1, d1, d2), jnp.where(take1, p1, p2),
+            jnp.where(take1, n1, n2))
+
+
+def _hfield_box(m: Model, hpos, hmat, bpos, bmat, size, margin=0.0):
+    """Box vs heightfield: the 8 box corners tested against the raised cell
+    triangles under each (corner = point geom inflated by margin/2, mirroring
+    the sphere path's margin handling), 4 deepest kept — the hfield analog of
+    _plane_box. MuJoCo collides full prisms against the box (GJK); face-corner
+    contact dominates for robot trunks, edge-manifold cases approximate."""
+    dtype = bpos.dtype
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, dtype)
+    corners = bpos[None, :] + (signs * size[None, :]) @ bmat.T   # (8, 3)
+    local = (corners - hpos[None, :]) @ hmat                     # (8, 3)
+    d, p, n = jax.vmap(
+        lambda c: _hfield_point_contact(m, c, 0.5 * margin, margin, dtype))(
+            local)
+    d4, p4, n4 = _deepest_k(d, p, n, 4)
+    return d4, p4 @ hmat.T + hpos[None, :], n4 @ hmat.T
+
+
+def _hfield_cylinder(m: Model, hpos, hmat, cpos, cmat, radius, halflen,
+                     margin=0.0):
+    """Cylinder vs heightfield via the two rim/end points nearest the surface
+    (cylinder ≈ capsule endpoint spheres, same approximation as plane/box
+    paths)."""
+    axis = cmat[:, 2]
+    outs = [_hfield_sphere(m, hpos, hmat, cpos + axis * (s * halflen), radius,
+                           margin)
+            for s in (1.0, -1.0)]
+    d = jnp.concatenate([o[0] for o in outs])
+    p = jnp.concatenate([o[1] for o in outs])
+    n = jnp.concatenate([o[2] for o in outs])
+    return _deepest_k(d, p, n, 4)
 
 
 # ---------------------------------------------------------------------------------
@@ -454,11 +785,33 @@ def make_frame(n: jnp.ndarray) -> jnp.ndarray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Contacts:
-    """Fixed-slot contact set (one env). Slot order is static per model."""
+    """Fixed-slot contact set (one env). Slot order is static per model.
 
-    dist: Any    # (ncon,)
-    pos: Any     # (ncon, 3)
-    frame: Any   # (ncon, 3, 3) rows (n, t1, t2)
+    Storage is ONE channel-major feature tensor (7, S): row 0 = dist, rows
+    1:4 = pos, rows 4:7 = normal. Under a 4096-env vmap a (B, S, 3, 3)
+    frame tensor gets tile-padded ~100× in HBM (XLA pads the minor two dims
+    to (8, 128)); the (B, 7, S) layout pads ≤2× and the full (3, 3) frames
+    are only constructed lazily for the slots that need them (the ≤32 culled
+    solver slots, the feet slots, debug probes)."""
+
+    feat: Any    # (7, ncon)
+
+    @property
+    def dist(self):
+        return self.feat[0]
+
+    @property
+    def pos(self):
+        return self.feat[1:4].T
+
+    @property
+    def normal(self):
+        return self.feat[4:7].T
+
+    @property
+    def frame(self):
+        """(S, 3, 3) rows (n, t1, t2) — computed on demand (mju_makeFrame)."""
+        return make_frame(self.normal)
 
 
 def collide(m: Model, kin) -> Contacts:
@@ -471,10 +824,9 @@ def collide(m: Model, kin) -> Contacts:
     size = jnp.asarray(m.geom_size, dtype)
     specs = contact_layout(m)
     if not specs:
-        return Contacts(jnp.zeros(0, dtype), jnp.zeros((0, 3), dtype),
-                        jnp.zeros((0, 3, 3), dtype))
+        return Contacts(jnp.zeros((7, 0), dtype))
 
-    dists, poss, normals = [], [], []
+    feats = []
     i = 0
     while i < len(specs):
         t1 = int(m.geom_type[specs[i].geom1])
@@ -515,15 +867,59 @@ def collide(m: Model, kin) -> Contacts:
         elif t1 == GEOM_HFIELD and t2 == GEOM_CAPSULE:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_capsule(
                 m, p1, R1, p2, R2, s2[0], s2[1], mg)
+        elif t1 == GEOM_HFIELD and t2 == GEOM_BOX:
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_box(
+                m, p1, R1, p2, R2, s2, mg)
+        elif t1 == GEOM_HFIELD and t2 == GEOM_CYLINDER:
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_cylinder(
+                m, p1, R1, p2, R2, s2[0], s2[1], mg)
+        # ---- robot-robot (self-collision) pairs, type1 ≤ type2 ----
+        elif t1 == GEOM_SPHERE and t2 == GEOM_SPHERE:
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _sphere_sphere(
+                p1, s1[0], p2, s2[0])
+        elif t1 == GEOM_SPHERE and t2 == GEOM_CAPSULE:
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _sphere_capsule(
+                p1, s1[0], p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_SPHERE and t2 == GEOM_CYLINDER:
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _sphere_cylinder(
+                p1, s1[0], p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_SPHERE and t2 == GEOM_BOX:
+            # _box_sphere's normal points box→sphere = g2→g1 → negate
+            def fn(p1, R1, p2, R2, s1, s2, mg):
+                d, pos, n = _box_sphere(p2, R2, s2, p1, s1[0])
+                return d, pos, -n
+        elif t1 == GEOM_CAPSULE and t2 == GEOM_CAPSULE:
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _capsule_capsule(
+                p1, R1, s1[0], s1[1], p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_CAPSULE and t2 == GEOM_CYLINDER:
+            # cylinder treated as a capsule of the same radius/halflen (flat
+            # caps/rims approximated round — documented approximation)
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _capsule_capsule(
+                p1, R1, s1[0], s1[1], p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_CAPSULE and t2 == GEOM_BOX:
+            def fn(p1, R1, p2, R2, s1, s2, mg):
+                d, pos, n = _box_capsule(p2, R2, s2, p1, R1, s1[0], s1[1])
+                return d, pos, -n
+        elif t1 == GEOM_CYLINDER and t2 == GEOM_CYLINDER:
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _capsule_capsule(
+                p1, R1, s1[0], s1[1], p2, R2, s2[0], s2[1])
+        elif t1 == GEOM_CYLINDER and t2 == GEOM_BOX:
+            # cylinder ≈ capsule (two endpoint spheres against the box)
+            def fn(p1, R1, p2, R2, s1, s2, mg):
+                d, pos, n = _box_capsule(p2, R2, s2, p1, R1, s1[0], s1[1])
+                return d, pos, -n
+        elif t1 == GEOM_BOX and t2 == GEOM_BOX:
+            fn = None  # group-vectorized path below (pair axis minor)
         else:  # pragma: no cover - layout filters unsupported pairs
             raise AssertionError((t1, t2))
 
-        d, p, n = jax.vmap(fn)(p1, R1, p2, R2, s1, s2, marg)  # (G, k, ...)
-        dists.append(d.reshape(-1))
-        poss.append(p.reshape(-1, 3))
-        normals.append(n.reshape(-1, 3))
+        if fn is None:
+            d, p, n = _box_box_group(p1, R1, s1, p2, R2, s2)
+        else:
+            d, p, n = jax.vmap(fn)(p1, R1, p2, R2, s1, s2, marg)  # (G, k, ...)
+        # channel-major (7, G*k) feature block — see Contacts docstring
+        feats.append(jnp.concatenate([
+            d.reshape(1, -1), p.reshape(-1, 3).T, n.reshape(-1, 3).T], axis=0))
         i = j
 
-    n_all = jnp.concatenate(normals)
-    return Contacts(jnp.concatenate(dists), jnp.concatenate(poss),
-                    make_frame(n_all))
+    return Contacts(jnp.concatenate(feats, axis=1))

@@ -55,7 +55,12 @@ class ConstraintLayout:
     con_solref: np.ndarray     # (S, 2)
     con_solimp: np.ndarray     # (S, 5)
     con_margin: np.ndarray     # (S,)
+    con_incl: np.ndarray       # (S,) inclusion threshold: margin for primitive
+                               # colliders; 0 for hfield pairs (MuJoCo's convex
+                               # hfield pipeline only returns contacts whose
+                               # margin-BIASED dist is negative — probed r2)
     con_body: np.ndarray       # (S,) robot body of geom2
+    con_body1: np.ndarray      # (S,) body of geom1 (0 for world pairs)
     con_geom1: np.ndarray      # (S,) world geom id
     con_geom2: np.ndarray      # (S,) robot geom id (for per-foot force extraction)
     con_prio: np.ndarray       # (S,) -1 geom1 wins, +1 geom2 wins, 0 equal (max rule)
@@ -79,19 +84,23 @@ def _layout_cached(key) -> ConstraintLayout:
     elliptic = int(m.cone) == CONE_ELLIPTIC
 
     specs = contact_layout(m)
-    condims, mus, solrefs, solimps, margins = [], [], [], [], []
-    bodies, geom1s, geom2s, prios = [], [], [], []
+    condims, mus, solrefs, solimps, margins, incls = [], [], [], [], [], []
+    bodies, bodies1, geom1s, geom2s, prios = [], [], [], [], []
+    from gym_quadruped_tpu.models.model import GEOM_HFIELD
     for spec in specs:
         p1 = int(m.geom_priority[spec.geom1])
         p2 = int(m.geom_priority[spec.geom2])
         prio = 0 if p1 == p2 else (-1 if p1 > p2 else 1)
+        hfield_pair = int(m.geom_type[spec.geom1]) == GEOM_HFIELD
         for _ in range(spec.ncon):
             condims.append(spec.condim)
             mus.append(spec.friction)
             solrefs.append(spec.solref)
             solimps.append(spec.solimp)
             margins.append(spec.margin)
+            incls.append(0.0 if hfield_pair else spec.margin)
             bodies.append(int(m.geom_bodyid[spec.geom2]))
+            bodies1.append(int(m.geom_bodyid[spec.geom1]))
             geom1s.append(spec.geom1)
             geom2s.append(spec.geom2)
             prios.append(prio)
@@ -120,7 +129,9 @@ def _layout_cached(key) -> ConstraintLayout:
         con_solref=np.array(solrefs, np.float64).reshape(S, 2),
         con_solimp=np.array(solimps, np.float64).reshape(S, 5),
         con_margin=np.array(margins, np.float64).reshape(S),
+        con_incl=np.array(incls, np.float64).reshape(S),
         con_body=np.array(bodies, np.int32),
+        con_body1=np.array(bodies1, np.int32),
         con_geom1=np.array(geom1s, np.int32),
         con_geom2=np.array(geom2s, np.int32),
         con_prio=np.array(prios, np.int32),
@@ -226,10 +237,17 @@ def runtime_con_mu(m: Model, geom_friction) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _con_mask_table_cached(key) -> np.ndarray:
-    """(S, nv) static ancestor-dof masks for the robot body of each slot."""
+    """(S, nv) SIGNED dof masks per slot: mask(body2) - mask(body1).
+
+    The contact Jacobian is the RELATIVE point-velocity Jacobian; the point
+    velocity field vp is body-independent, so J_rel = vp.(mask2 - mask1) —
+    shared-ancestor dofs cancel exactly. World pairs keep the plain body2
+    mask (the world body's mask is zero)."""
     lay: ConstraintLayout = _MODEL_CACHE[key][1]
     m: Model = _MODEL_CACHE[key][0]
-    return np.stack([ancestor_dof_mask(m, int(b)) for b in lay.con_body])
+    m2 = np.stack([ancestor_dof_mask(m, int(b)) for b in lay.con_body])
+    m1 = np.stack([ancestor_dof_mask(m, int(b)) for b in lay.con_body1])
+    return m2 - m1
 
 
 def con_mask_table(m: Model, lay: ConstraintLayout) -> np.ndarray:
@@ -327,23 +345,28 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
         dirs = jnp.concatenate([dirs_t, dirs_r], axis=1)
         return dirs, jnp.einsum('sdv,v->sd', dirs, qvel)
 
-    inv_t_all = jnp.asarray(m.body_invweight0[lay.con_body, 0], dtype) \
+    # MuJoCo's diagApprox for a contact sums BOTH bodies' invweights (the
+    # world body's invweight0 is zero, so world pairs are unchanged)
+    inv_t_all = jnp.asarray(m.body_invweight0[lay.con_body, 0]
+                            + m.body_invweight0[lay.con_body1, 0], dtype) \
         if S else None
-    inv_r_all = jnp.asarray(m.body_invweight0[lay.con_body, 1], dtype) \
+    inv_r_all = jnp.asarray(m.body_invweight0[lay.con_body, 1]
+                            + m.body_invweight0[lay.con_body1, 1], dtype) \
         if S else None
 
     # simple-row contacts (frictionless or pyramidal): static, usually few slots
     ss = lay.simple_con_slots
     if len(ss):
+        from gym_quadruped_tpu.physics.collision import make_frame as _mk
         pos_s = contacts.pos[ss]
-        dirs, vel6 = slot_dirs_vel(pos_s, contacts.frame[ss],
+        dirs, vel6 = slot_dirs_vel(pos_s, _mk(contacts.normal[ss]),
                                    jnp.asarray(mask_table[ss], dtype))
         margin = jnp.asarray(lay.con_margin[ss], dtype)
         solimp = jnp.asarray(lay.con_solimp[ss], dtype)
         x = contacts.dist[ss] - margin
         imp = impedance(solimp, x)
         K, B = kb(jnp.asarray(lay.con_solref[ss], dtype), solimp)
-        include = contacts.dist[ss] < margin
+        include = contacts.dist[ss] < jnp.asarray(lay.con_incl[ss], dtype)
         rimp = jnp.maximum(1.0 - imp, 1e-4) / imp
         aref_n = -B * vel6[:, 0] - K * imp * x
         inv_t = inv_t_all[ss]
@@ -377,33 +400,64 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
     # cone blocks (elliptic, condim > 1): cull BEFORE assembly — Jacobians and
     # rows are only built for the max_cone nearest slots
     if C_all:
-        cs_np = lay.cone_slots
+        cs_np = np.asarray(lay.cone_slots)
         dist_c = contacts.dist[cs_np]                     # (C_all,)
         if max_cone is not None and max_cone < C_all:
             _, sel = jax.lax.top_k(-dist_c, max_cone)     # local cone indices
         else:
             sel = jnp.arange(C_all, dtype=jnp.int32)
-        g = jnp.take(jnp.asarray(cs_np), sel)             # global slot indices
 
-        pos_c = jnp.take(contacts.pos, g, axis=0)
-        frame_c = jnp.take(contacts.frame, g, axis=0)
-        masks_c = jnp.take(jnp.asarray(mask_table, dtype), g, axis=0)
+        # ONE one-hot matmul selects every per-slot feature: batched dynamic
+        # gathers serialize on the TPU (measured ~240 ms/step at B=4096 with
+        # ~1000 self-collision slots); a (K, C_all) 0/1 matrix against a
+        # concatenated (C_all, F) feature table rides the MXU instead.
+        onehot = (sel[:, None] ==
+                  jnp.arange(C_all, dtype=sel.dtype)[None, :]).astype(dtype)
+
+        def take_cone(x):
+            """(C_all, ...) → (K, ...) via the one-hot matmul."""
+            flat = x.reshape(C_all, -1)
+            out = jnp.matmul(onehot, flat, precision=jax.lax.Precision.HIGHEST)
+            return out.reshape((onehot.shape[0],) + x.shape[1:])
+
+        # static per-slot tables restricted to cone slots (numpy, build-time)
+        feat_static = jnp.asarray(np.concatenate([
+            mask_table[cs_np],                            # nv
+            np.asarray(lay.con_margin)[cs_np, None],      # 1
+            np.asarray(lay.con_solimp)[cs_np],            # 5
+            np.asarray(lay.con_solref)[cs_np],            # 2
+            np.asarray(lay.con_incl)[cs_np, None],        # 1
+        ], axis=1), dtype)
+        feat_traced = jnp.concatenate([
+            contacts.feat[:, cs_np].T,                    # 7: dist, pos, normal
+            inv_t_all[cs_np][:, None],                    # 1
+            con_mu[cs_np],                                # 5
+        ], axis=1)
+        sel_feat = take_cone(jnp.concatenate([feat_static, feat_traced],
+                                             axis=1))
+        o = 0
+        masks_c = sel_feat[:, o:o + nv]; o += nv
+        margin_c = sel_feat[:, o]; o += 1
+        solimp_c = sel_feat[:, o:o + 5]; o += 5
+        solref_c = sel_feat[:, o:o + 2]; o += 2
+        incl_c = sel_feat[:, o]; o += 1
+        dist_sel = sel_feat[:, o]; o += 1
+        pos_c = sel_feat[:, o:o + 3]; o += 3
+        n_c = sel_feat[:, o:o + 3]; o += 3
+        inv_tc = sel_feat[:, o]; o += 1
+        mu = sel_feat[:, o:o + 5]; o += 5
+
+        from gym_quadruped_tpu.physics.collision import make_frame as _mkf
+        frame_c = _mkf(n_c)                            # built for K slots only
         dirs_c, vel6_c = slot_dirs_vel(pos_c, frame_c, masks_c)
-
-        dist_sel = jnp.take(dist_c, sel)
-        margin_c = jnp.take(jnp.asarray(lay.con_margin, dtype), g)
-        solimp_c = jnp.take(jnp.asarray(lay.con_solimp, dtype), g, axis=0)
-        solref_c = jnp.take(jnp.asarray(lay.con_solref, dtype), g, axis=0)
         x_c = dist_sel - margin_c
         imp_c = impedance(solimp_c, x_c)
         K_c, B_c = kb(solref_c, solimp_c)
-        include_c = dist_sel < margin_c
+        include_c = dist_sel < incl_c
         rimp_c = jnp.maximum(1.0 - imp_c, 1e-4) / imp_c
         aref_nc = -B_c * vel6_c[:, 0] - K_c * imp_c * x_c
-        inv_tc = jnp.take(inv_t_all, g)
 
-        dim_mask = jnp.take(jnp.asarray(lay.cone_dim_mask, dtype), sel, axis=0)
-        mu = jnp.take(con_mu, g, axis=0)                  # (K, 5)
+        dim_mask = take_cone(jnp.asarray(lay.cone_dim_mask, dtype))
         mu0 = mu[:, 0]
         con_J = dirs_c * dim_mask[:, :, None]
         aref_f = -B_c[:, None] * vel6_c[:, 1:]            # friction: no K term
@@ -443,6 +497,15 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
                con_J=con_J, con_aref=con_aref, con_R=con_R, con_active=con_active,
                cone_mu=cone_mu, cone_dim_mask=cone_dim_mask, cone_dist=cone_dist,
                cone_sel=cone_sel)
+
+
+def scatter_cone_forces(cone_sel, f_cone, C_all: int):
+    """(K,) slot indices + (K, 6) culled forces → (C_all, 6) full-slot forces.
+    One-hot transpose matmul — a batched scatter serializes on TPU."""
+    onehot = (cone_sel[:, None] ==
+              jnp.arange(C_all, dtype=cone_sel.dtype)[None, :]).astype(
+                  f_cone.dtype)
+    return jnp.matmul(onehot.T, f_cone, precision=jax.lax.Precision.HIGHEST)
 
 
 def cull_cone_slots(efc: Efc, k: int):

@@ -27,6 +27,7 @@ from gym_quadruped_tpu.physics.constraints import (
     constraint_layout,
     cull_cone_slots,
     make_efc,
+    scatter_cone_forces,
 )
 from gym_quadruped_tpu.physics.kinematics import Kin, cdof as _cdof, fk
 from gym_quadruped_tpu.physics.solver import solve
@@ -99,7 +100,7 @@ def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
         warmstart=warmstart, iterations=solver_iterations)
     C_all = len(lay.cone_slots)
     if f_cone.shape[0] < C_all:  # scatter culled forces to the full slot axis
-        f_cone = jnp.zeros((C_all, 6), f_cone.dtype).at[efc.cone_sel].set(f_cone)
+        f_cone = scatter_cone_forces(efc.cone_sel, f_cone, C_all)
 
     return Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,
                    qfrc_actuator=act, qfrc_smooth=qfrc_smooth,
@@ -187,7 +188,7 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
     C_all = len(lay.cone_slots)
     if f_cone.shape[1] < C_all:
         f_cone = jax.vmap(
-            lambda s, f: jnp.zeros((C_all, 6), f.dtype).at[s].set(f))(
+            lambda s, f: scatter_cone_forces(s, f, C_all))(
                 efc.cone_sel, f_cone)
 
     fwd = Forward(kin=kin, cdof=cdof, M=M, qfrc_bias=bias, qfrc_passive=passive,

@@ -89,8 +89,12 @@ def _feet_slot_mask_cached(m_key) -> np.ndarray:
     from gym_quadruped_tpu.physics.constraints import constraint_layout
 
     lay = constraint_layout(m)
-    return (np.asarray(lay.con_body)[None, :] ==
-            np.asarray(m.feet_body_id)[:, None]).astype(np.float64)  # (4, S)
+    world = np.asarray(lay.con_body1) == 0   # reference counts only contacts
+    # between the feet and the WORLD (quadruped_env.py:838-844); self-contact
+    # slots never contribute to contact_state / GRF
+    return ((np.asarray(lay.con_body)[None, :] ==
+             np.asarray(m.feet_body_id)[:, None]) &
+            world[None, :]).astype(np.float64)  # (4, S)
 
 
 _MODEL_CACHE: dict = {}
@@ -104,7 +108,7 @@ def feet_slot_mask(m: Model) -> np.ndarray:
 
 def active_slots(lay: ConstraintLayout, fwd) -> jnp.ndarray:
     """(S,) bool — slot is in the contact set (dist < margin, mjData.contact)."""
-    margin = jnp.asarray(lay.con_margin, fwd.contacts.dist.dtype)
+    margin = jnp.asarray(lay.con_incl, fwd.contacts.dist.dtype)
     return fwd.contacts.dist < margin
 
 
@@ -133,5 +137,8 @@ def invalid_contact(m: Model, lay: ConstraintLayout, fwd) -> jnp.ndarray:
     act = active_slots(lay, fwd)
     if act.shape[0] == 0:
         return jnp.zeros((), bool)
-    nonfoot = ~np.any(np.asarray(feet_slot_mask(m)) > 0, axis=0)  # (S,) static
+    # reference: only WORLD contacts on non-foot bodies terminate; robot
+    # self-contacts are explicitly ignored (quadruped_env.py:1245-1246)
+    world = np.asarray(lay.con_body1) == 0
+    nonfoot = ~np.any(np.asarray(feet_slot_mask(m)) > 0, axis=0) & world
     return jnp.any(act & jnp.asarray(nonfoot))
