@@ -32,9 +32,14 @@ class MPCConfig:
     rho: float = 1e-4
     gait: GaitConfig = GaitConfig('trot')
     weights: qp.MPCWeights = qp.MPCWeights()
-    swing_height: float = 0.08
+    swing_height: float = 0.06
     kp_swing: float = 300.0
     kd_swing: float = 10.0
+    # outward lateral bias of the swing foothold (m): keeps the swing calf
+    # clear of the stance-side calf — with self-collision modeled (r2), the
+    # bare Raibert target makes the front calves brush mid-trot (matches
+    # MuJoCo contact-for-contact) and the graze destabilizes the gait
+    stance_width_offset: float = 0.05
 
 
 class CentroidalMPC:
@@ -99,8 +104,10 @@ class CentroidalMPC:
         duty = cfg.gait.resolved()[1]
         t_stance = duty * cfg.gait.period
         v = qvel[0:3]
+        side = jnp.asarray([1.0, -1.0, 1.0, -1.0], dtype)  # FL FR RL RR
         foothold = hip_w + 0.5 * t_stance * ref_lin_vel_w[None, :] \
-            + 0.03 * (v - ref_lin_vel_w)[None, :]
+            + 0.03 * (v - ref_lin_vel_w)[None, :] \
+            + cfg.stance_width_offset * side[:, None] * R[:, 1][None, :]
         ground_z = feet_pos_w[:, 2].min()
         foothold = foothold.at[:, 2].set(ground_z)
 

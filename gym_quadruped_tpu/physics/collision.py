@@ -439,7 +439,9 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
     S2 = [s2[:, i] for i in range(3)]
     R1c = [[R1[:, i, j] for j in range(3)] for i in range(3)]
     R2c = [[R2[:, i, j] for j in range(3)] for i in range(3)]
-    signs = np.asarray(_BOX_CORNER_SIGNS)
+    # python floats, not numpy scalars: np.float64 scalars are strong-typed
+    # and silently promote the whole feature tensor to f64 under x64
+    signs = [[float(x) for x in row] for row in _BOX_CORNER_SIGNS]
 
     def corners_in(Pa, Ra, Sa, Pb, Rb, Sb):
         """Corners of box b tested inside box a. Returns lists over 8 corners
@@ -448,7 +450,7 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
         out = []
         for c in range(8):
             # world corner of box b
-            cw = [Pb[i] + sum(Rb[i][j] * (signs[c, j] * Sb[j])
+            cw = [Pb[i] + sum(Rb[i][j] * (signs[c][j] * Sb[j])
                               for j in range(3)) for i in range(3)]
             # into box a local
             loc = [sum(Ra[i][j] * (cw[i] - Pa[i]) for i in range(3))

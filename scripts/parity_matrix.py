@@ -46,10 +46,12 @@ def run_combo(robot, scene, n_steps=200, amp=2.0):
     qvel = jnp.asarray(d.qvel.copy())
     # thread qacc warmstart across steps exactly like MuJoCo's qacc_warmstart
     warm = jnp.asarray(d.qacc_warmstart.copy())
+    iters = int(os.environ.get('PARITY_ITERS', 10))
 
     @jax.jit
     def step(qp, qv, c, w):
-        qp2, qv2, fwd = engine.step(model, qp, qv, c, warmstart=w)
+        qp2, qv2, fwd = engine.step(model, qp, qv, c, warmstart=w,
+                                    solver_iterations=iters)
         return qp2, qv2, fwd.qacc
 
     err, err_at = 0.0, -1

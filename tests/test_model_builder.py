@@ -24,9 +24,11 @@ def test_build_mini_cheetah_flat():
     # qpos0 override applied (reference quadruped_env.py:171-173)
     np.testing.assert_allclose(
         m.qpos0[7:], [0, -np.pi / 2, 0] * 2 + [0, np.pi / 2, 0] * 2)
-    # contact candidate pairs include the 4 feet vs floor
-    feet_pairs = [p for p in m.contact_pairs if p[1] in m.feet_geom_id]
-    assert len(feet_pairs) == 4
+    # contact candidate pairs include the 4 feet vs floor (world pairs);
+    # self-collision pairs (foot vs foot etc.) add more entries
+    feet_world_pairs = [p for p in m.contact_pairs
+                        if p[1] in m.feet_geom_id and m.geom_bodyid[p[0]] == 0]
+    assert len(feet_world_pairs) == 4
     # keyframe exists for reset
     assert m.key_qpos.shape[0] >= 1
 
