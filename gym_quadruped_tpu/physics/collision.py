@@ -34,6 +34,7 @@ from gym_quadruped_tpu.models.model import (
     GEOM_SPHERE,
     Model,
 )
+from gym_quadruped_tpu.physics import ccd
 
 
 # ---------------------------------------------------------------------------------
@@ -88,6 +89,11 @@ def _combine_params(m: Model, g1: int, g2: int) -> tuple:
         tuple(float(x) for x in solimp), margin, gap
 
 
+# hfield convex pipeline (box/cylinder vs prisms): top-K deepest prisms each
+# emit a 5-point CCD manifold (MuJoCo collides EVERY overlapped prism; K=6
+# covers the footprints of the shipped trunks at the measured cell sizes)
+_HF_CONVEX_K = 6
+
 _NCON_TABLE = {
     # world (geom1) vs robot (geom2) — geom1 order follows the world geom
     (GEOM_PLANE, GEOM_SPHERE): 1,
@@ -98,8 +104,8 @@ _NCON_TABLE = {
     (GEOM_BOX, GEOM_CAPSULE): 2,
     (GEOM_HFIELD, GEOM_SPHERE): 8,
     (GEOM_HFIELD, GEOM_CAPSULE): 16,
-    (GEOM_HFIELD, GEOM_BOX): 4,
-    (GEOM_HFIELD, GEOM_CYLINDER): 4,
+    (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K * 5,
+    (GEOM_HFIELD, GEOM_CYLINDER): _HF_CONVEX_K * 5,
     # robot-robot (self-collision) pairs, stored with type1 ≤ type2
     (GEOM_SPHERE, GEOM_SPHERE): 1,
     (GEOM_SPHERE, GEOM_CAPSULE): 1,
@@ -109,7 +115,7 @@ _NCON_TABLE = {
     (GEOM_CAPSULE, GEOM_CYLINDER): 1,
     (GEOM_CAPSULE, GEOM_BOX): 2,
     (GEOM_CYLINDER, GEOM_CYLINDER): 1,
-    (GEOM_CYLINDER, GEOM_BOX): 2,
+    (GEOM_CYLINDER, GEOM_BOX): 5,
     (GEOM_BOX, GEOM_BOX): 4,
 }
 
@@ -726,36 +732,279 @@ def _hfield_point_contact(m: Model, local, r_eff, margin, dtype):
             jnp.where(take1, n1, n2))
 
 
-def _hfield_box(m: Model, hpos, hmat, bpos, bmat, size, margin=0.0):
-    """Box vs heightfield: the 8 box corners tested against the raised cell
-    triangles under each (corner = point geom inflated by margin/2, mirroring
-    the sphere path's margin handling), 4 deepest kept — the hfield analog of
-    _plane_box. MuJoCo collides full prisms against the box (GJK); face-corner
-    contact dominates for robot trunks, edge-manifold cases approximate."""
-    dtype = bpos.dtype
-    signs = jnp.asarray(_BOX_CORNER_SIGNS, dtype)
-    corners = bpos[None, :] + (signs * size[None, :]) @ bmat.T   # (8, 3)
-    local = (corners - hpos[None, :]) @ hmat                     # (8, 3)
-    d, p, n = jax.vmap(
-        lambda c: _hfield_point_contact(m, c, 0.5 * margin, margin, dtype))(
-            local)
-    d4, p4, n4 = _deepest_k(d, p, n, 4)
-    return d4, p4 @ hmat.T + hpos[None, :], n4 @ hmat.T
+def _cyl_box_ccd(p1, R1, radius, halflen, p2, R2, size):
+    """Cylinder (geom1) vs box (geom2) via the native-CCD-parity pipeline
+    (ccd.py): SAT candidates + pattern refinement for the penetration
+    direction, then MuJoCo's multiccd manifold — 4 perturbed re-solves of the
+    pair with the relative orientation tilted ±1e-3 rad about the contact
+    tangents (rule decoded in scripts/probe_multiccd2.py: med 5.6e-5 position
+    agreement vs MuJoCo 3.10). Replaces MuJoCo's convex collider for this pair
+    (reference reaches it via mj_step, quadruped_env.py:271)."""
+    def depth_fn(d):
+        return (ccd.supval_cyl(d, p1, R1, radius, halflen)
+                + ccd.supval_box(-d, p2, R2, size))
+
+    a = R1[:, 2]
+    # radial axis: box center to the closest point on the cylinder axis
+    t = jnp.clip((p2 - p1) @ a, -halflen, halflen)
+    # + radial directions from the cylinder axis to each box corner (the
+    # optimum family for corner-on-side-line contacts)
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, p1.dtype)
+    corners = p2[None, :] + (signs * size[None, :]) @ R2.T        # (8, 3)
+    tc = jnp.clip((corners - p1) @ a, -halflen, halflen)
+    rad_corner = corners - (p1[None, :] + tc[:, None] * a[None, :])
+    cands = jnp.concatenate([
+        jnp.stack([R2[:, 0], R2[:, 1], R2[:, 2], a,
+                   jnp.cross(R2[:, 0], a), jnp.cross(R2[:, 1], a),
+                   jnp.cross(R2[:, 2], a), (p1 + t * a) - p2]),
+        rad_corner])
+    d0_depth, d0 = ccd.best_axis(depth_fn, cands)
+    # 16 rounds with expansion: final pattern radius well under the face-tie
+    # tolerance (2.5e-4) — tie directions (line/face contacts) must not read
+    # as pinned
+    depth0, n0 = ccd.pattern_refine(depth_fn, d0, d0_depth, rounds=16)
+    axes0 = jnp.stack([a, R2[:, 0], R2[:, 1], R2[:, 2]])
+    depth0, n0 = ccd.snap_polish(depth_fn, depth0, n0, axes0)
+
+    # 4 perturbed re-solves, warm-started at n0 (tilt is ~1e-3, so a small
+    # initial pattern radius suffices)
+    Ra, Rb = ccd.perturb_rots(n0)                             # (4, 3, 3)
+    R1p, R2p = Ra @ R1, Rb @ R2
+
+    def depth_fn_p(d):
+        exp = (slice(None),) + (None,) * (d.ndim - 2)
+        return (ccd.supval_cyl(d, p1, R1p[exp], radius, halflen)
+                + ccd.supval_box(-d, p2, R2p[exp], size))
+
+    n0b = jnp.broadcast_to(n0, (4, 3))
+    depth_p, n_p = ccd.pattern_refine(depth_fn_p, n0b, depth_fn_p(n0b),
+                                      rounds=8, r0=8e-3)
+    axes_p = jnp.concatenate([R1p[:, :, 2:3].swapaxes(-1, -2),
+                              R2p.swapaxes(-1, -2)], axis=-2)  # (4, 4, 3)
+    depth_p, n_p = ccd.snap_polish(depth_fn_p, depth_p, n_p, axes_p)
+    xa = ccd.support_cyl(n_p, p1, R1p, radius, halflen)
+    xb = ccd.support_box(-n_p, p2, R2p, size)
+    # tie lattice from the canonical unperturbed direction (snap-polished n0
+    # has EXACT zeros on tie axes); geometry/rim direction per perturbed pose
+    mask_ax, sgn_ax, mask_rad = ccd.cyl_face(n0, R1)
+    bmask, bsgn = ccd.box_face(-n0, R2, size)
+    pos_p = ccd.witness(
+        n_p, xa, xb,
+        lambda pt: ccd.clip_face_cyl(pt, p1, R1p, radius, halflen,
+                                     mask_ax, sgn_ax, mask_rad, n_p),
+        lambda pt: ccd.clip_face_box(pt, p2, R2p, size, bmask, bsgn),
+        ccd.supval_cyl(n_p, p1, R1p, radius, halflen),
+        ccd.supval_box(-n_p, p2, R2p, size))
+    return ccd.manifold_from_perturbed(depth0, n0, depth_p, pos_p, n_p)
+
+
+def _clip_into_prism(pt, verts, zbot):
+    """Approximate projection into a heightfield prism volume (verts
+    (..., 6, 3), top triangle first): top-plane projection, lateral 2D
+    triangle clip, z clamp. Exact for vertical-sided prisms with witnesses
+    near the top face — the terrain-contact case; the ±1e-3-rad perturbed
+    prisms reuse it with O(eps*height) error."""
+    v0, v1, v2 = verts[..., 0, :], verts[..., 1, :], verts[..., 2, :]
+    tn = jnp.cross(v1 - v0, v2 - v1)
+    tn = tn * jnp.sign(tn[..., 2:3])
+    tn = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True), 1e-30)
+    exc = jnp.maximum(jnp.sum((pt - v0) * tn, -1), 0.0)
+    q = pt - exc[..., None] * tn
+    flat = jnp.asarray([1.0, 1.0, 0.0], pt.dtype)
+    qxy = ccd.clip_onto_triangle(q * flat, v0 * flat, v1 * flat, v2 * flat)
+    zt = v0[..., 2] - (tn[..., 0] * (qxy[..., 0] - v0[..., 0])
+                       + tn[..., 1] * (qxy[..., 1] - v0[..., 1])) / \
+        jnp.maximum(tn[..., 2], 1e-6)
+    z = jnp.clip(q[..., 2], zbot, zt)
+    return jnp.stack([qxy[..., 0], qxy[..., 1], z], -1)
+
+
+def _hfield_convex_ccd(m: Model, hpos, hmat, gpos, gmat, margin,
+                       supval_g, support_g, face_g, clip_g, rbound, n_span):
+    """Shared hfield-vs-convex (box / cylinder) narrow phase.
+
+    MuJoCo's convex hfield pipeline collides the geom against EVERY
+    margin-raised triangular prism in its AABB footprint (one CCD call per
+    prism, each emitting a shared-depth manifold — observed per-prism contact
+    groups in the aliengo/perlin oracle dumps). Reproduced here: per-prism SAT
+    + pattern refinement (all prisms × all candidate directions evaluated in
+    single batched tensor ops), then the _HF_CONVEX_K deepest prisms emit the
+    multiccd 5-point manifold (4 perturbed re-solves per prism, same decoded
+    rule as _cyl_box_ccd). The margin bias follows the sphere path's fitted
+    rule (tops raised by margin, reported dist lowered by margin/2).
+
+    supval_g(d, R) / support_g(d, R) / clip_g(pt, R) operate in the hfield
+    LOCAL frame with batched (..., 3) dirs and explicit (broadcastable) geom
+    rotation R — the perturbed re-solves pass rotated copies. rbound is the
+    geom's
+    circumscribed radius (traced ok); n_span the static per-axis cell count
+    of the footprint."""
+    dtype = gpos.dtype
+    local_p = hmat.T @ (gpos - hpos)
+    local_R = hmat.T @ gmat
+    sz = jnp.asarray(m.hfield_size, dtype)
+    nr, nc = m.hfield_nrow, m.hfield_ncol
+    data = jnp.asarray(m.hfield_data, dtype)
+
+    fx = (local_p[0] / sz[0] + 1.0) * 0.5 * (nc - 1)
+    fy = (local_p[1] / sz[1] + 1.0) * 0.5 * (nr - 1)
+    rx = rbound / sz[0] * 0.5 * (nc - 1)
+    ry = rbound / sz[1] * 0.5 * (nr - 1)
+    i0 = jnp.floor(fx - rx).astype(jnp.int32)
+    j0 = jnp.floor(fy - ry).astype(jnp.int32)
+
+    # footprint cells (n_span², static) → prism vertex stacks (P, 6, 3)
+    offs = np.arange(n_span)
+    di = jnp.asarray(np.tile(offs, n_span), jnp.int32)        # (C,)
+    dj = jnp.asarray(np.repeat(offs, n_span), jnp.int32)
+    ii = jnp.clip(i0 + di, 0, nc - 2)
+    jj = jnp.clip(j0 + dj, 0, nr - 2)
+    cell_dup = (i0 + di != ii) | (j0 + dj != jj)              # (C,)
+
+    def corner(jj, ii):
+        x = (ii.astype(dtype) / (nc - 1) * 2.0 - 1.0) * sz[0]
+        y = (jj.astype(dtype) / (nr - 1) * 2.0 - 1.0) * sz[1]
+        return jnp.stack([x, y, data[jj, ii] * sz[2] + margin], axis=-1)
+
+    v00, v10 = corner(jj, ii), corner(jj, ii + 1)             # (C, 3)
+    v01, v11 = corner(jj + 1, ii), corner(jj + 1, ii + 1)
+    tops = jnp.stack([jnp.stack([v00, v10, v11], axis=1),
+                      jnp.stack([v00, v11, v01], axis=1)], axis=1)  # (C,2,3,3)
+    tops = tops.reshape(-1, 3, 3)                             # (P, 3, 3)
+    bases = tops.at[:, :, 2].set(-sz[3])
+    verts_all = jnp.concatenate([tops, bases], axis=1)        # (P, 6, 3)
+    is_dup = jnp.repeat(cell_dup, 2)                          # (P,)
+
+    def depth_fn(dirs):
+        """dirs (P, ..., 3) -> depths (P, ...): prism supval + geom supval."""
+        sa = jnp.max(jnp.einsum('p...k,pvk->p...v', dirs, verts_all), -1)
+        return sa + supval_g(-dirs, local_R)
+
+    # SAT candidates per prism: z, top normal, 3 side normals, 3 geom axes,
+    # (3 top edges + z) × geom axes crosses  → 18 axes
+    e0 = tops[:, 1] - tops[:, 0]
+    e1 = tops[:, 2] - tops[:, 1]
+    e2 = tops[:, 0] - tops[:, 2]
+    zax = jnp.zeros_like(e0).at[:, 2].set(1.0)
+    top_n = jnp.cross(e0, e1)
+    cands = [zax, top_n, jnp.cross(e0, zax), jnp.cross(e1, zax),
+             jnp.cross(e2, zax)]
+    for i in range(3):
+        g = jnp.broadcast_to(local_R[:, i], e0.shape)
+        cands.append(g)
+        for e in (e0, e1, e2, zax):
+            cands.append(jnp.cross(e, g))
+    cands = jnp.stack(cands, axis=1)                          # (P, N, 3)
+    d0_depth, d0 = ccd.best_axis(depth_fn, cands)
+    depths, dirs = ccd.pattern_refine(depth_fn, d0, d0_depth, rounds=14)
+    top_u = top_n / jnp.maximum(
+        jnp.linalg.norm(top_n, axis=-1, keepdims=True), 1e-12)
+    axes0 = jnp.concatenate([
+        zax[:, None, :], top_u[:, None, :],
+        jnp.broadcast_to(local_R.T, tops.shape)], axis=1)     # (P, 5, 3)
+    depths, dirs = ccd.snap_polish(depth_fn, depths, dirs, axes0)
+    depths = jnp.where(is_dup, -jnp.inf, depths)              # (P,)
+
+    # K deepest prisms by masked-max extraction (comparison one-hot — no sort)
+    ds, ps, ns = [], [], []
+    remaining = depths
+    for _ in range(_HF_CONVEX_K):
+        mx = jnp.max(remaining)
+        sel = (remaining >= mx) & jnp.isfinite(remaining)
+        oh = (jnp.cumsum(sel.astype(dtype)) <= 1.0) * sel.astype(dtype)
+        verts_k = jnp.einsum('p,pvk->vk', oh, verts_all)
+        depth_k = oh @ depths
+        dir_k = oh @ dirs
+        dn = jnp.linalg.norm(dir_k)
+        dir_k = jnp.where(dn > 1e-6, dir_k / jnp.maximum(dn, 1e-12),
+                          jnp.zeros_like(dir_k).at[2].set(1.0))
+        got = jnp.sum(oh) > 0.5
+
+        # multiccd: 4 perturbed re-solves of (prism, geom), warm-started
+        Ra, Rb = ccd.perturb_rots(dir_k)                      # (4, 3, 3)
+        cen = jnp.mean(verts_k, axis=0)
+        verts_p = cen + jnp.einsum('kij,vj->kvi', Ra, verts_k - cen)
+        lRp = Rb @ local_R                                    # (4, 3, 3)
+
+        def depth_fn_k(d, verts_p=verts_p, lRp=lRp):
+            exp = (slice(None),) + (None,) * (d.ndim - 2)
+            sa = ccd.supval_verts(d, verts_p[exp])
+            return sa + supval_g(-d, lRp[exp])
+
+        nkb = jnp.broadcast_to(dir_k, (4, 3))
+        depth_p, n_p = ccd.pattern_refine(depth_fn_k, nkb, depth_fn_k(nkb),
+                                          rounds=8, r0=8e-3)
+        e01 = verts_p[:, 1] - verts_p[:, 0]
+        tn_p = jnp.cross(e01, verts_p[:, 2] - verts_p[:, 1])
+        tn_p = tn_p / jnp.maximum(
+            jnp.linalg.norm(tn_p, axis=-1, keepdims=True), 1e-12)
+        axes_p = jnp.concatenate([
+            Ra[:, :, 2][:, None, :], tn_p[:, None, :],
+            lRp.swapaxes(-1, -2)], axis=1)                    # (4, 5, 3)
+        depth_p, n_p = ccd.snap_polish(depth_fn_k, depth_p, n_p, axes_p)
+        xa = ccd.support_verts(n_p, verts_p)
+        xb = support_g(-n_p, lRp)
+        face_k = face_g(-dir_k, local_R)
+        pos_p = ccd.witness(
+            n_p, xa, xb,
+            lambda pt: ccd.clip_onto_triangle(pt, verts_p[:, 0],
+                                              verts_p[:, 1], verts_p[:, 2]),
+            lambda pt: clip_g(pt, lRp, face_k, -n_p),
+            ccd.supval_verts(n_p, verts_p),
+            supval_g(-n_p, lRp))
+        d5, p5, n5 = ccd.manifold_from_perturbed(
+            depth_k, dir_k, depth_p, pos_p, n_p,
+            extra_dist=-0.5 * margin)
+        ds.append(jnp.where(got, d5, 1e6))
+        ps.append(p5)
+        ns.append(n5)
+        remaining = jnp.where(sel, -jnp.inf, remaining)
+
+    d = jnp.concatenate(ds)
+    pos_local = jnp.concatenate(ps)
+    n_local = jnp.concatenate(ns)
+    return (d, pos_local @ hmat.T + hpos[None, :], n_local @ hmat.T)
+
+
+def hfield_span(m: Model, geom_ids) -> int:
+    """Static per-axis footprint cell count for a group of hfield-convex pairs
+    (worst case over the group's geom circumscribed diameters)."""
+    cell = 2.0 * float(np.min(np.asarray(m.hfield_size)[:2])) / \
+        (min(m.hfield_nrow, m.hfield_ncol) - 1)
+    rmax = float(np.max(np.linalg.norm(
+        np.asarray(m.geom_size)[np.asarray(geom_ids)], axis=-1)))
+    return min(int(np.ceil(2.0 * rmax / cell)) + 2, 8)
+
+
+def _hfield_box(m: Model, hpos, hmat, bpos, bmat, size, margin, n_span):
+    """Box vs heightfield through the per-prism CCD pipeline (see
+    _hfield_convex_ccd; replaces the round-1 corner-sampling approximation
+    that missed prism ridges poking into box faces between corners)."""
+    rbound = jnp.linalg.norm(size)
+    lp = hmat.T @ (bpos - hpos)
+    return _hfield_convex_ccd(
+        m, hpos, hmat, bpos, bmat, margin,
+        lambda d, R: ccd.supval_box(d, lp, R, size),
+        lambda d, R: ccd.support_box(d, lp, R, size),
+        lambda d, R: ccd.box_face(d, R, size),
+        lambda pt, R, face, d: ccd.clip_face_box(pt, lp, R, size, *face),
+        rbound, n_span)
 
 
 def _hfield_cylinder(m: Model, hpos, hmat, cpos, cmat, radius, halflen,
-                     margin=0.0):
-    """Cylinder vs heightfield via the two rim/end points nearest the surface
-    (cylinder ≈ capsule endpoint spheres, same approximation as plane/box
-    paths)."""
-    axis = cmat[:, 2]
-    outs = [_hfield_sphere(m, hpos, hmat, cpos + axis * (s * halflen), radius,
-                           margin)
-            for s in (1.0, -1.0)]
-    d = jnp.concatenate([o[0] for o in outs])
-    p = jnp.concatenate([o[1] for o in outs])
-    n = jnp.concatenate([o[2] for o in outs])
-    return _deepest_k(d, p, n, 4)
+                     margin, n_span):
+    """Cylinder vs heightfield through the per-prism CCD pipeline (replaces
+    the endpoint-sphere approximation)."""
+    rbound = jnp.sqrt(radius * radius + halflen * halflen)
+    lp = hmat.T @ (cpos - hpos)
+    return _hfield_convex_ccd(
+        m, hpos, hmat, cpos, cmat, margin,
+        lambda d, R: ccd.supval_cyl(d, lp, R, radius, halflen),
+        lambda d, R: ccd.support_cyl(d, lp, R, radius, halflen),
+        lambda d, R: ccd.cyl_face(d, R),
+        lambda pt, R, face, d: ccd.clip_face_cyl(pt, lp, R, radius, halflen,
+                                                 *face, d),
+        rbound, n_span)
 
 
 # ---------------------------------------------------------------------------------
@@ -870,11 +1119,13 @@ def collide(m: Model, kin) -> Contacts:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_capsule(
                 m, p1, R1, p2, R2, s2[0], s2[1], mg)
         elif t1 == GEOM_HFIELD and t2 == GEOM_BOX:
-            fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_box(
-                m, p1, R1, p2, R2, s2, mg)
+            n_span = hfield_span(m, g2)
+            fn = lambda p1, R1, p2, R2, s1, s2, mg, ns=n_span: _hfield_box(
+                m, p1, R1, p2, R2, s2, mg, ns)
         elif t1 == GEOM_HFIELD and t2 == GEOM_CYLINDER:
-            fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_cylinder(
-                m, p1, R1, p2, R2, s2[0], s2[1], mg)
+            n_span = hfield_span(m, g2)
+            fn = lambda p1, R1, p2, R2, s1, s2, mg, ns=n_span: \
+                _hfield_cylinder(m, p1, R1, p2, R2, s2[0], s2[1], mg, ns)
         # ---- robot-robot (self-collision) pairs, type1 ≤ type2 ----
         elif t1 == GEOM_SPHERE and t2 == GEOM_SPHERE:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _sphere_sphere(
@@ -906,10 +1157,8 @@ def collide(m: Model, kin) -> Contacts:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _capsule_capsule(
                 p1, R1, s1[0], s1[1], p2, R2, s2[0], s2[1])
         elif t1 == GEOM_CYLINDER and t2 == GEOM_BOX:
-            # cylinder ≈ capsule (two endpoint spheres against the box)
-            def fn(p1, R1, p2, R2, s1, s2, mg):
-                d, pos, n = _box_capsule(p2, R2, s2, p1, R1, s1[0], s1[1])
-                return d, pos, -n
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _cyl_box_ccd(
+                p1, R1, s1[0], s1[1], p2, R2, s2)
         elif t1 == GEOM_BOX and t2 == GEOM_BOX:
             fn = None  # group-vectorized path below (pair axis minor)
         else:  # pragma: no cover - layout filters unsupported pairs
