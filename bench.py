@@ -10,7 +10,8 @@ Configs (BASELINE.md):
          camera on the aliengo group at its 30 fps cadence (render every 16th
          physics step — the reference gates the camera the same way,
          rgbd_camera.py:32-33)
-  mpc  — centroidal MPC solves/s, H=12, B=4096
+  mpc  — centroidal MPC solves/s, H=12, B=4096 (cold; worst case)
+  mpc_warm — closed-loop replan rate, each solve warm-started (steady state)
 
 Prints ONE JSON line: the headline metric plus a `configs` dict with every
 other number. `vs_baseline` compares against the reference's own stack measured
@@ -243,6 +244,54 @@ def measure_mpc(batch: int) -> float:
     return _median_rate(solve, make_inputs, batch, reps=3)
 
 
+def measure_mpc_warm(batch: int) -> float:
+    """Closed-loop replan rate: every solve warm-started from the previous
+    replan's ADMM state — the controller's steady-state regime (the cold rate
+    above is the worst case). The warm budget is cfg.warm_iterations; the
+    replan clock advances between solves like a real 100 Hz loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from gym_quadruped_tpu.models.builder import load_model
+    from gym_quadruped_tpu.mpc import CentroidalMPC, GaitConfig, MPCConfig
+
+    model = load_model('go2', 'flat')
+    mpc = CentroidalMPC(model, MPCConfig(gait=GaitConfig('trot'),
+                                         iterations=30))
+    feet0 = jnp.asarray(
+        [[0.19, 0.14, 0.02], [0.19, -0.14, 0.02],
+         [-0.19, 0.14, 0.02], [-0.19, -0.14, 0.02]], jnp.float32)
+
+    def cold(qpos, qvel, t, ref):
+        _, warm = mpc.solve(qpos, qvel, feet0, t, ref,
+                            jnp.asarray(0.0, qpos.dtype))
+        return warm
+
+    def warm_solve(qpos, qvel, t, ref, warm):
+        forces, warm = mpc.solve(qpos, qvel, feet0, t, ref,
+                                 jnp.asarray(0.0, qpos.dtype),
+                                 warmstart=warm)
+        return forces[0], warm
+
+    solve = jax.jit(jax.vmap(warm_solve))
+    key = jax.random.PRNGKey(0)
+    qpos0 = jnp.tile(jnp.asarray(model.key_qpos[0], jnp.float32), (batch, 1))
+    qpos0 = qpos0 + 0.01 * jax.random.normal(key, qpos0.shape, jnp.float32)
+    ts = jax.random.uniform(key, (batch,), jnp.float32, 0.0, 1.0)
+    refs = jnp.tile(jnp.asarray([0.4, 0, 0], jnp.float32), (batch, 1))
+    warm0 = jax.jit(jax.vmap(cold))(qpos0, jnp.zeros((batch, model.nv),
+                                                     jnp.float32), ts, refs)
+
+    def make_inputs(r, carry=None):
+        qvel = 0.1 * jax.random.normal(jax.random.PRNGKey(r),
+                                       (batch, model.nv), jnp.float32)
+        jax.block_until_ready(qvel)
+        warm = carry[1] if carry is not None else warm0
+        return qpos0, qvel, ts + 0.01 * r, refs, warm
+
+    return _median_rate(solve, make_inputs, batch, reps=3)
+
+
 def main():
     import jax
 
@@ -282,6 +331,8 @@ def main():
     record('cfg5', f'mixed_camera_b{batch}',
            lambda: measure_mixed_camera(batch, 3))
     record('mpc', f'mpc_solves_per_s_H12_b{batch}', lambda: measure_mpc(batch))
+    record('mpc_warm', f'mpc_warm_solves_per_s_H12_b{batch}',
+           lambda: measure_mpc_warm(batch))
 
     try:
         cpu_rate = measure_mujoco_cpu('go2', 'flat')

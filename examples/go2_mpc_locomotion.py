@@ -36,16 +36,21 @@ def main(vx: float, seconds: float, record: str | None):
                                      iterations=50))
     ref = jnp.array([vx, 0.0, 0.0])
 
-    @jax.jit
-    def tick(state):
+    def _tick(state, warm):
         kin = fk(m, state.qpos)
         cd = cdof(m, kin)
         feet = kin.geom_xpos[jnp.asarray(m.feet_geom_id)]
         jacp, _ = _point_jacobians(m, kin, cd, feet, m.feet_body_id)
-        forces, _ = mpc.solve(state.qpos, state.qvel, feet, state.time, ref,
-                              jnp.asarray(0.0))
-        return mpc.torques(state.qpos, state.qvel, feet, jacp, forces[0],
-                           state.time, ref)
+        # warm=None -> cold solve (first replan); afterwards each replan is
+        # warm-started from the previous one (cfg.warm_iterations ADMM steps)
+        forces, warm = mpc.solve(state.qpos, state.qvel, feet, state.time,
+                                 ref, jnp.asarray(0.0), warmstart=warm)
+        tau = mpc.torques(state.qpos, state.qvel, feet, jacp, forces[0],
+                          state.time, ref)
+        return tau, warm
+
+    tick_cold = jax.jit(lambda s: _tick(s, None))
+    tick_warm = jax.jit(_tick)
 
     step = jax.jit(env.step)
     state, _ = jax.jit(lambda k: env.reset(
@@ -54,12 +59,12 @@ def main(vx: float, seconds: float, record: str | None):
 
     n_steps = int(seconds / m.timestep)
     replan = 5  # 100 Hz
-    tau = tick(state)
+    tau, warm = tick_cold(state)
     qpos_hist, vxs = [], []
     t0 = time.time()
     for i in range(n_steps):
         if i % replan == 0:
-            tau = tick(state)
+            tau, warm = tick_warm(state, warm)
         state, obs, reward, term, trunc, info = step(state, tau)
         qpos_hist.append(np.asarray(state.qpos))
         vxs.append(float(state.qvel[0]))

@@ -29,6 +29,10 @@ class MPCConfig:
     horizon: int = 12
     mpc_dt: float = 0.02
     iterations: int = 30
+    # ADMM budget when a warmstart from the previous replan is supplied: the
+    # consensus variables start feasible-adjacent, so ~1/3 the cold budget
+    # reaches the same plan quality (bench_mpc.py closed-loop check)
+    warm_iterations: int = 10
     rho: float = 1e-4
     gait: GaitConfig = GaitConfig('trot')
     weights: qp.MPCWeights = qp.MPCWeights()
@@ -76,9 +80,10 @@ class CentroidalMPC:
                                          cfg.mpc_dt)
         Hq, qv = qp.condense(A, B, x0, x_ref, cfg.weights.q_diag,
                              cfg.weights.r_diag)
+        iters = cfg.iterations if warmstart is None else cfg.warm_iterations
         U, warm = qp.admm_solve(Hq, qv, schedule, self.params.mu,
                                 self.params.fz_min, self.params.fz_max,
-                                iterations=cfg.iterations, rho=cfg.rho,
+                                iterations=iters, rho=cfg.rho,
                                 warmstart=warmstart)
         forces = U.reshape(cfg.horizon, 4, 3)
         return forces, warm

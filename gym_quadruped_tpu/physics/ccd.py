@@ -245,31 +245,76 @@ def clip_onto_triangle(pt, a, b, c):
     return out
 
 
-def witness(n, xa, xb, clip_a, clip_b, sva, svb_neg):
-    """Contact position for one (possibly perturbed) config.
-
-    xa = support_A(n), xb = support_B(-n); clip_a(pt)/clip_b(pt) project a
-    point onto A's/B's support FACE (the tie lattice is decided from the
-    canonical unperturbed direction — see box_face/cyl_face); sva =
-    supval_A(n), svb_neg = supval_B(-n). The EPA witness lies in the
-    intersection of the two support faces ⟂ n; alternating projections from
-    the support midpoint converge there, with Aitken vector extrapolation
-    recovering the limit when the faces are nearly parallel (line-line
-    crossings at small angle decay too slowly for plain POCS). The position
-    is then projected onto the overlap mid-plane along n (MuJoCo reports the
-    witness-pair midpoint: ⟂ component common, n-component the overlap
-    middle)."""
-    w1 = clip_a(clip_b(0.5 * (xa + xb)))
-    w2 = clip_a(clip_b(w1))
-    w3 = clip_a(clip_b(w2))
-    d1, d2 = w2 - w1, w3 - w2
+def pocs(w, clip_a, clip_b, rounds=3):
+    """Alternating projections + Aitken vector extrapolation (the two sets
+    are (near-)affine, so the error decays geometrically along one mode and
+    the extrapolation recovers the limit even for nearly-parallel sets)."""
+    ws = [clip_a(clip_b(w))]
+    for _ in range(rounds - 1):
+        ws.append(clip_a(clip_b(ws[-1])))
+    d1, d2 = ws[-2] - ws[-3], ws[-1] - ws[-2]
     rho = jnp.clip(
         jnp.sum(d1 * d2, -1) / jnp.maximum(jnp.sum(d1 * d1, -1), 1e-30),
         0.0, 0.999)
-    w = w3 + d2 * (rho / (1.0 - rho))[..., None]
-    w = clip_a(clip_b(w))
-    c_mid = 0.5 * (sva - svb_neg)
-    return w + n * (c_mid - jnp.sum(w * n, -1))[..., None]
+    w = ws[-1] + d2 * (rho / (1.0 - rho))[..., None]
+    return clip_a(clip_b(w))
+
+
+_pocs = pocs
+
+
+def witness(n, depth, starts, face_a, face_b, vol_a, vol_b, kappa=3e-7):
+    """Contact position for one (possibly perturbed) config.
+
+    starts: list of candidate start points (each broadcastable to (..., 3));
+    face_a/face_b project onto the support FACE along n (tie lattice per
+    config — see box_face/cyl_face); vol_a/vol_b project into the geom
+    VOLUMES.
+
+    Each start runs two stages. (1) face-POCS: the EPA witness ⟂ n lies in
+    the intersection of the two support faces; exact when that intersection
+    is where the bodies actually kiss (faces, lines on faces, vertices).
+    (2) touch-point refinement: the witness pair (x1, x2) satisfies
+    x1 - x2 = depth*n with x1 the point where A and B-translated-by-depth*n
+    touch — volume-POCS pulls cases where a pinned support face sits away
+    from the true overlap (line-edge crossings: a rim end can be centimeters
+    from the touch point). The translation keeps a kappa-thin lens of overlap
+    so the sets aren't exactly tangent (POCS on tangent bodies converges
+    sublinearly). The refined candidate with the smallest touch residual
+    wins; earlier candidates get a 1e-6 preference (on near-parallel kisses
+    the residual barely discriminates and the first start encodes the
+    correct feature).
+    Returns the witness-pair midpoint, which is what MuJoCo reports."""
+    shift = (depth - kappa)[..., None] * n
+
+    def vol_b_shift(pt):
+        return vol_b(pt - shift) + shift
+
+    def touch(start):
+        # two accelerated sweeps: one Aitken hop from a far start lands
+        # partway on curved sets
+        return _pocs(_pocs(start, vol_a, vol_b_shift), vol_a, vol_b_shift)
+
+    def resid(q):
+        return jnp.linalg.norm(q - vol_b_shift(q), axis=-1)
+
+    best = None
+    shape = jnp.broadcast_shapes(n.shape, *[jnp.shape(s) for s in starts])
+    for s in starts:
+        s = jnp.broadcast_to(s, shape)
+        # two routes per start: through the face lattice, and raw — the face
+        # stage nails extended-feature kisses but can eject a start whose
+        # feature is not in this config's lattice (e.g. a shared grid vertex
+        # against a prism whose triangle extends toward the far box corner)
+        for w2 in (touch(_pocs(s, face_a, face_b)), touch(s)):
+            r2 = resid(w2)
+            if best is None:
+                best, best_r = w2, r2
+            else:
+                take = r2 < best_r - 1e-6
+                best = jnp.where(take[..., None], w2, best)
+                best_r = jnp.minimum(best_r, r2)
+    return best - 0.5 * shift
 
 
 # ---------------------------------------------------------------------------------

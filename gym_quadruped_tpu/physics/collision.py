@@ -90,9 +90,12 @@ def _combine_params(m: Model, g1: int, g2: int) -> tuple:
 
 
 # hfield convex pipeline (box/cylinder vs prisms): top-K deepest prisms each
-# emit a 5-point CCD manifold (MuJoCo collides EVERY overlapped prism; K=6
-# covers the footprints of the shipped trunks at the measured cell sizes)
-_HF_CONVEX_K = 6
+# emit ONE contact. MuJoCo collides EVERY overlapped prism and reports a
+# single CCD contact per prism — multiccd does NOT apply to hfield pairs
+# (verified by toggling the flag on an isolated hfield-box model: identical
+# output, including EXACT duplicate contacts at shared cell features). K=8
+# covers the footprints of the shipped trunks at the measured cell sizes.
+_HF_CONVEX_K = 8
 
 _NCON_TABLE = {
     # world (geom1) vs robot (geom2) — geom1 order follows the world geom
@@ -104,8 +107,8 @@ _NCON_TABLE = {
     (GEOM_BOX, GEOM_CAPSULE): 2,
     (GEOM_HFIELD, GEOM_SPHERE): 8,
     (GEOM_HFIELD, GEOM_CAPSULE): 16,
-    (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K * 5,
-    (GEOM_HFIELD, GEOM_CYLINDER): _HF_CONVEX_K * 5,
+    (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K,
+    (GEOM_HFIELD, GEOM_CYLINDER): _HF_CONVEX_K,
     # robot-robot (self-collision) pairs, stored with type1 ≤ type2
     (GEOM_SPHERE, GEOM_SPHERE): 1,
     (GEOM_SPHERE, GEOM_CAPSULE): 1,
@@ -784,17 +787,24 @@ def _cyl_box_ccd(p1, R1, radius, halflen, p2, R2, size):
     depth_p, n_p = ccd.snap_polish(depth_fn_p, depth_p, n_p, axes_p)
     xa = ccd.support_cyl(n_p, p1, R1p, radius, halflen)
     xb = ccd.support_box(-n_p, p2, R2p, size)
-    # tie lattice from the canonical unperturbed direction (snap-polished n0
-    # has EXACT zeros on tie axes); geometry/rim direction per perturbed pose
-    mask_ax, sgn_ax, mask_rad = ccd.cyl_face(n0, R1)
-    bmask, bsgn = ccd.box_face(-n0, R2, size)
+    # unperturbed canonical witness: alternate stage-2 start (see ccd.witness)
+    m0 = ccd.cyl_face(n0, R1)
+    b0 = ccd.box_face(-n0, R2, size)
+    w0 = ccd.pocs(
+        0.5 * (ccd.support_cyl(n0, p1, R1, radius, halflen)
+               + ccd.support_box(-n0, p2, R2, size)),
+        lambda pt: ccd.clip_face_cyl(pt, p1, R1, radius, halflen, *m0, n0),
+        lambda pt: ccd.clip_face_box(pt, p2, R2, size, *b0))
+    # per-config tie lattice (snap-polished n_p has EXACT zeros on tie axes)
+    mask_ax, sgn_ax, mask_rad = ccd.cyl_face(n_p, R1p)
+    bmask, bsgn = ccd.box_face(-n_p, R2p, size)
     pos_p = ccd.witness(
-        n_p, xa, xb,
+        n_p, depth_p, [0.5 * (xa + xb), w0],
         lambda pt: ccd.clip_face_cyl(pt, p1, R1p, radius, halflen,
                                      mask_ax, sgn_ax, mask_rad, n_p),
         lambda pt: ccd.clip_face_box(pt, p2, R2p, size, bmask, bsgn),
-        ccd.supval_cyl(n_p, p1, R1p, radius, halflen),
-        ccd.supval_box(-n_p, p2, R2p, size))
+        lambda pt: ccd.clip_into_cyl(pt, p1, R1p, radius, halflen),
+        lambda pt: ccd.clip_into_box(pt, p2, R2p, size))
     return ccd.manifold_from_perturbed(depth0, n0, depth_p, pos_p, n_p)
 
 
@@ -820,18 +830,20 @@ def _clip_into_prism(pt, verts, zbot):
 
 
 def _hfield_convex_ccd(m: Model, hpos, hmat, gpos, gmat, margin,
-                       supval_g, support_g, face_g, clip_g, rbound, n_span):
+                       supval_g, support_g, face_g, clip_g, clip_vol_g,
+                       rbound, n_span):
     """Shared hfield-vs-convex (box / cylinder) narrow phase.
 
     MuJoCo's convex hfield pipeline collides the geom against EVERY
-    margin-raised triangular prism in its AABB footprint (one CCD call per
-    prism, each emitting a shared-depth manifold — observed per-prism contact
-    groups in the aliengo/perlin oracle dumps). Reproduced here: per-prism SAT
-    + pattern refinement (all prisms × all candidate directions evaluated in
-    single batched tensor ops), then the _HF_CONVEX_K deepest prisms emit the
-    multiccd 5-point manifold (4 perturbed re-solves per prism, same decoded
-    rule as _cyl_box_ccd). The margin bias follows the sphere path's fitted
-    rule (tops raised by margin, reported dist lowered by margin/2).
+    margin-raised triangular prism in its AABB footprint, ONE contact per
+    prism — multiccd does NOT apply here (verified by toggling the flag on an
+    isolated hfield-box model: identical output either way, including exact
+    duplicate contacts where a feature is shared by several prisms).
+    Reproduced here: per-prism SAT + pattern refinement (all prisms × all
+    candidate directions evaluated in single batched tensor ops), then the
+    _HF_CONVEX_K deepest prisms each emit their EPA-witness contact. The
+    margin bias follows the sphere path's fitted rule (tops raised by margin,
+    reported dist lowered by margin/2).
 
     supval_g(d, R) / support_g(d, R) / clip_g(pt, R) operate in the hfield
     LOCAL frame with batched (..., 3) dirs and explicit (broadcastable) geom
@@ -918,51 +930,48 @@ def _hfield_convex_ccd(m: Model, hpos, hmat, gpos, gmat, margin,
         dn = jnp.linalg.norm(dir_k)
         dir_k = jnp.where(dn > 1e-6, dir_k / jnp.maximum(dn, 1e-12),
                           jnp.zeros_like(dir_k).at[2].set(1.0))
-        got = jnp.sum(oh) > 0.5
+        got = (jnp.sum(oh) > 0.5) & (depth_k > -margin)
 
-        # multiccd: 4 perturbed re-solves of (prism, geom), warm-started
-        Ra, Rb = ccd.perturb_rots(dir_k)                      # (4, 3, 3)
-        cen = jnp.mean(verts_k, axis=0)
-        verts_p = cen + jnp.einsum('kij,vj->kvi', Ra, verts_k - cen)
-        lRp = Rb @ local_R                                    # (4, 3, 3)
-
-        def depth_fn_k(d, verts_p=verts_p, lRp=lRp):
-            exp = (slice(None),) + (None,) * (d.ndim - 2)
-            sa = ccd.supval_verts(d, verts_p[exp])
-            return sa + supval_g(-d, lRp[exp])
-
-        nkb = jnp.broadcast_to(dir_k, (4, 3))
-        depth_p, n_p = ccd.pattern_refine(depth_fn_k, nkb, depth_fn_k(nkb),
-                                          rounds=8, r0=8e-3)
-        e01 = verts_p[:, 1] - verts_p[:, 0]
-        tn_p = jnp.cross(e01, verts_p[:, 2] - verts_p[:, 1])
-        tn_p = tn_p / jnp.maximum(
-            jnp.linalg.norm(tn_p, axis=-1, keepdims=True), 1e-12)
-        axes_p = jnp.concatenate([
-            Ra[:, :, 2][:, None, :], tn_p[:, None, :],
-            lRp.swapaxes(-1, -2)], axis=1)                    # (4, 5, 3)
-        depth_p, n_p = ccd.snap_polish(depth_fn_k, depth_p, n_p, axes_p)
-        xa = ccd.support_verts(n_p, verts_p)
-        xb = support_g(-n_p, lRp)
+        # ONE contact per prism (mj semantics — multiccd is a no-op for
+        # hfield pairs): EPA-witness position at the unperturbed direction
         face_k = face_g(-dir_k, local_R)
-        pos_p = ccd.witness(
-            n_p, xa, xb,
-            lambda pt: ccd.clip_onto_triangle(pt, verts_p[:, 0],
-                                              verts_p[:, 1], verts_p[:, 2]),
-            lambda pt: clip_g(pt, lRp, face_k, -n_p),
-            ccd.supval_verts(n_p, verts_p),
-            supval_g(-n_p, lRp))
-        d5, p5, n5 = ccd.manifold_from_perturbed(
-            depth_k, dir_k, depth_p, pos_p, n_p,
-            extra_dist=-0.5 * margin)
-        ds.append(jnp.where(got, d5, 1e6))
-        ps.append(p5)
-        ns.append(n5)
-        remaining = jnp.where(sel, -jnp.inf, remaining)
+        # support-tie break: when dir_k is ⟂ a prism edge, several verts are
+        # equally extreme but only one is where the bodies actually touch —
+        # start from the tied vert inside the TOUCH LENS (the geom translated
+        # by depth*dir just kisses the prism there; any other tied vert sits
+        # outside it). The tie centroid or an un-shifted containment test
+        # both stray (measured 3e-2+).
+        vals = verts_k @ dir_k
+        tied = vals >= jnp.max(vals) - 1e-9
+        shift_k = depth_k * dir_k
+        moved = jnp.linalg.norm(
+            clip_vol_g(verts_k - shift_k[None, :], local_R)
+            + shift_k[None, :] - verts_k, axis=-1)
+        score = jnp.where(tied, moved, jnp.inf)
+        vsel = (score <= jnp.min(score)).astype(dtype)
+        vsel = vsel * (jnp.cumsum(vsel) <= 1.0)
+        xa = vsel @ verts_k
+        xb = support_g(-dir_k, local_R)
+        # candidate witnesses: the tie-broken prism vertex (terrain feature
+        # into geom face — the dominant case), the geom support point (geom
+        # corner into prism top), and the support midpoint (edge-edge)
+        pos_k = ccd.witness(
+            dir_k, depth_k, [xa, xb, 0.5 * (xa + xb)],
+            lambda pt: ccd.clip_onto_triangle(pt, verts_k[0], verts_k[1],
+                                              verts_k[2]),
+            lambda pt: clip_g(pt, local_R, face_k, -dir_k),
+            lambda pt: _clip_into_prism(pt, verts_k, -sz[3]),
+            lambda pt: clip_vol_g(pt, local_R))
+        ds.append(jnp.where(got, -depth_k - 0.5 * margin, 1e6))
+        ps.append(pos_k)
+        ns.append(dir_k)
+        # mask ONLY the selected prism: exact ties (a feature shared by 2-6
+        # prisms) must emit one duplicate contact per prism, like MuJoCo
+        remaining = jnp.where(oh > 0.5, -jnp.inf, remaining)
 
-    d = jnp.concatenate(ds)
-    pos_local = jnp.concatenate(ps)
-    n_local = jnp.concatenate(ns)
+    d = jnp.stack(ds)
+    pos_local = jnp.stack(ps)
+    n_local = jnp.stack(ns)
     return (d, pos_local @ hmat.T + hpos[None, :], n_local @ hmat.T)
 
 
@@ -988,6 +997,7 @@ def _hfield_box(m: Model, hpos, hmat, bpos, bmat, size, margin, n_span):
         lambda d, R: ccd.support_box(d, lp, R, size),
         lambda d, R: ccd.box_face(d, R, size),
         lambda pt, R, face, d: ccd.clip_face_box(pt, lp, R, size, *face),
+        lambda pt, R: ccd.clip_into_box(pt, lp, R, size),
         rbound, n_span)
 
 
@@ -1004,6 +1014,7 @@ def _hfield_cylinder(m: Model, hpos, hmat, cpos, cmat, radius, halflen,
         lambda d, R: ccd.cyl_face(d, R),
         lambda pt, R, face, d: ccd.clip_face_cyl(pt, lp, R, radius, halflen,
                                                  *face, d),
+        lambda pt, R: ccd.clip_into_cyl(pt, lp, R, radius, halflen),
         rbound, n_span)
 
 

@@ -25,32 +25,40 @@ def test_go2_trot_tracks_velocity_command():
                                      iterations=50))
     ref = jnp.array([VX, 0.0, 0.0])
 
-    def tick(state):
+    def tick(state, warm):
         kin = fk(m, state.qpos)
         cd = cdof(m, kin)
         feet = kin.geom_xpos[jnp.asarray(m.feet_geom_id)]
         jacp, _ = _point_jacobians(m, kin, cd, feet, m.feet_body_id)
-        forces, _ = mpc.solve(state.qpos, state.qvel, feet, state.time, ref,
-                              jnp.asarray(0.0))
-        return mpc.torques(state.qpos, state.qvel, feet, jacp, forces[0],
-                           state.time, ref)
+        # warm-started replans (production regime: warm_iterations ADMM steps)
+        forces, warm = mpc.solve(state.qpos, state.qvel, feet, state.time,
+                                 ref, jnp.asarray(0.0), warmstart=warm)
+        tau = mpc.torques(state.qpos, state.qvel, feet, jacp, forces[0],
+                          state.time, ref)
+        return tau, warm
 
     @jax.jit
     def run(key):
         state, _ = env.reset(key, qpos=jnp.asarray(m.key_qpos[0]),
                              qvel=jnp.zeros(m.nv))
+        kin0 = fk(m, state.qpos)
+        feet0 = kin0.geom_xpos[jnp.asarray(m.feet_geom_id)]
+        _, warm0 = mpc.solve(state.qpos, state.qvel, feet0, state.time, ref,
+                             jnp.asarray(0.0))   # cold solve seeds the carry
 
-        def outer(state, _):
-            tau = tick(state)
+        def outer(carry, _):
+            state, warm = carry
+            tau, warm = tick(state, warm)
 
             def inner(s, __):
                 s2, *_ = env.step(s, tau)
                 return s2, None
 
             state, _ = jax.lax.scan(inner, state, None, length=5)
-            return state, (state.qpos[2], state.qvel[0])
+            return (state, warm), (state.qpos[2], state.qvel[0])
 
-        state, (zs, vxs) = jax.lax.scan(outer, state, None, length=240)
+        (state, _), (zs, vxs) = jax.lax.scan(outer, (state, warm0), None,
+                                             length=240)
         return state, zs, vxs
 
     state, zs, vxs = run(jax.random.PRNGKey(0))
