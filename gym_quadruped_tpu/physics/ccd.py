@@ -374,9 +374,10 @@ def snap_polish(depth_fn, depth, d, axes, thresh=0.02):
     component zeroed (side-line optima are EXACTLY ⟂ their feature axis), all
     near-zero components zeroed together, and d aligned to a near-parallel
     axis (face optima are exactly the face normal). A candidate is taken when
-    its depth is no worse than +1e-9 — flat tie valleys accept the canonical
-    point, genuine small-angle optima (depth strictly better off-axis) reject
-    it. Without this, residual refine noise (~1e-3 rad on nonsmooth line-line
+    its depth is no worse than +1e-12 — flat tie valleys accept the canonical
+    point, genuine small-angle optima reject it (a multiccd tilt's optimum
+    beats its zeroed version by ~eps^2*R/2 ~ 5e-8, so the margin must sit
+    well below that — 1e-9 was wrongly absorbing genuine tilts). Without this, residual refine noise (~1e-3 rad on nonsmooth line-line
     valleys) makes clip_face_* mis-pin witnesses to far rim/corner features.
     Returns (depth, d)."""
     dots = jnp.sum(d[..., None, :] * axes, -1)                 # (..., A)
@@ -392,10 +393,10 @@ def snap_polish(depth_fn, depth, d, axes, thresh=0.02):
         jnp.linalg.norm(cands, axis=-1, keepdims=True), 1e-12)
     vals = depth_fn(cands)                                     # (..., C)
     v = jnp.min(vals, -1)
-    sel = (vals <= v[..., None] + 1e-9).astype(d.dtype)
+    sel = (vals <= v[..., None] + 1e-12).astype(d.dtype)
     oh = sel * (jnp.cumsum(sel, axis=-1) <= 1.0)
     dc = jnp.einsum('...n,...nk->...k', oh, cands)
-    take = v <= depth + 1e-9
+    take = v <= depth + 1e-12
     return (jnp.where(take, jnp.minimum(v, depth), depth),
             jnp.where(take[..., None], dc, d))
 
