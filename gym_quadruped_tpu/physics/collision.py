@@ -107,8 +107,8 @@ _NCON_TABLE = {
     (GEOM_BOX, GEOM_CAPSULE): 2,
     (GEOM_HFIELD, GEOM_SPHERE): 8,
     (GEOM_HFIELD, GEOM_CAPSULE): 16,
-    (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K,
-    (GEOM_HFIELD, GEOM_CYLINDER): _HF_CONVEX_K,
+    (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K + 4,
+    (GEOM_HFIELD, GEOM_CYLINDER): _HF_CONVEX_K + 4,
     # robot-robot (self-collision) pairs, stored with type1 ≤ type2
     (GEOM_SPHERE, GEOM_SPHERE): 1,
     (GEOM_SPHERE, GEOM_CAPSULE): 1,
@@ -985,13 +985,37 @@ def hfield_span(m: Model, geom_ids) -> int:
     return min(int(np.ceil(2.0 * rmax / cell)) + 2, 8)
 
 
+def _merge_local_samples(margin, dc, pc, nc_, d4, p4w, n4w):
+    """Merge local-sample contacts with the CCD per-prism set. When both
+    pipelines find the same feature (within 2 mm) the LOCAL sample wins and
+    the CCD contact is dropped: MuJoCo's hfield pipeline measures contacts
+    locally (docs/PERF_NOTES.md), and on tilted grinding configs the
+    min-translation depth overshoots the locally-measured one (box-12 repro:
+    MTV 0.0050 vs mj 0.0037). For point-feature contacts the two coincide,
+    so nothing is lost on the validated clean cases; CCD contacts at terrain
+    features away from any sample (ridge into face) survive untouched."""
+    dd = jnp.linalg.norm(p4w[:, None, :] - pc[None, :, :], axis=-1)
+    dup_c = jnp.any((dd < 2e-3) & (d4[:, None] < margin + 1e-6), axis=0)
+    dc = jnp.where(dup_c, 1e6, dc)
+    return (jnp.concatenate([dc, d4]), jnp.concatenate([pc, p4w]),
+            jnp.concatenate([nc_, n4w]))
+
+
 def _hfield_box(m: Model, hpos, hmat, bpos, bmat, size, margin, n_span):
-    """Box vs heightfield through the per-prism CCD pipeline (see
-    _hfield_convex_ccd; replaces the round-1 corner-sampling approximation
-    that missed prism ridges poking into box faces between corners)."""
+    """Box vs heightfield: HYBRID narrow phase.
+
+    (a) per-prism CCD contacts (_hfield_convex_ccd) — geometrically-exact
+    min-translation contacts, validated 1e-7 against MuJoCo on shallow poses
+    (terrain features into the box). (b) the 4 deepest box CORNERS sampled
+    against the raised cell triangles (point-wise local depths). MuJoCo's
+    hfield pipeline emits non-MTV locally-measured satellite contacts during
+    tilted grinding (docs/PERF_NOTES.md) whose load DISTRIBUTION the corner
+    samples approximate far better than MTV contacts alone — go2/perlin
+    tumbling parity regressed 1e-3 -> 3.5e-3 on pure CCD. Near-duplicates
+    between the two sets are dropped (_merge_local_samples)."""
     rbound = jnp.linalg.norm(size)
     lp = hmat.T @ (bpos - hpos)
-    return _hfield_convex_ccd(
+    dc, pc, nc_ = _hfield_convex_ccd(
         m, hpos, hmat, bpos, bmat, margin,
         lambda d, R: ccd.supval_box(d, lp, R, size),
         lambda d, R: ccd.support_box(d, lp, R, size),
@@ -999,15 +1023,26 @@ def _hfield_box(m: Model, hpos, hmat, bpos, bmat, size, margin, n_span):
         lambda pt, R, face, d: ccd.clip_face_box(pt, lp, R, size, *face),
         lambda pt, R: ccd.clip_into_box(pt, lp, R, size),
         rbound, n_span)
+    dtype = bpos.dtype
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, dtype)
+    corners = bpos[None, :] + (signs * size[None, :]) @ bmat.T   # (8, 3)
+    local = (corners - hpos[None, :]) @ hmat
+    d, p, n = jax.vmap(
+        lambda c: _hfield_point_contact(m, c, 0.5 * margin, margin, dtype))(
+            local)
+    d4, p4, n4 = _deepest_k(d, p, n, 4)
+    return _merge_local_samples(margin, dc, pc, nc_, d4,
+                                p4 @ hmat.T + hpos[None, :], n4 @ hmat.T)
 
 
 def _hfield_cylinder(m: Model, hpos, hmat, cpos, cmat, radius, halflen,
                      margin, n_span):
-    """Cylinder vs heightfield through the per-prism CCD pipeline (replaces
-    the endpoint-sphere approximation)."""
+    """Cylinder vs heightfield: HYBRID narrow phase — per-prism CCD contacts
+    plus the 4 deepest endpoint-sphere samples (see _hfield_box for why the
+    local samples matter on grinding configs)."""
     rbound = jnp.sqrt(radius * radius + halflen * halflen)
     lp = hmat.T @ (cpos - hpos)
-    return _hfield_convex_ccd(
+    dc, pc, nc_ = _hfield_convex_ccd(
         m, hpos, hmat, cpos, cmat, margin,
         lambda d, R: ccd.supval_cyl(d, lp, R, radius, halflen),
         lambda d, R: ccd.support_cyl(d, lp, R, radius, halflen),
@@ -1016,6 +1051,15 @@ def _hfield_cylinder(m: Model, hpos, hmat, cpos, cmat, radius, halflen,
                                                  *face, d),
         lambda pt, R: ccd.clip_into_cyl(pt, lp, R, radius, halflen),
         rbound, n_span)
+    axis = cmat[:, 2]
+    outs = [_hfield_sphere(m, hpos, hmat, cpos + axis * (s * halflen), radius,
+                           margin)
+            for s in (1.0, -1.0)]
+    d = jnp.concatenate([o[0] for o in outs])
+    p = jnp.concatenate([o[1] for o in outs])
+    n = jnp.concatenate([o[2] for o in outs])
+    d4, p4, n4 = _deepest_k(d, p, n, 4)
+    return _merge_local_samples(margin, dc, pc, nc_, d4, p4, n4)
 
 
 # ---------------------------------------------------------------------------------
