@@ -106,7 +106,7 @@ _NCON_TABLE = {
     (GEOM_BOX, GEOM_SPHERE): 1,
     (GEOM_BOX, GEOM_CAPSULE): 2,
     (GEOM_HFIELD, GEOM_SPHERE): 8,
-    (GEOM_HFIELD, GEOM_CAPSULE): 16,
+    (GEOM_HFIELD, GEOM_CAPSULE): 16 + 5,
     (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K + 4,
     (GEOM_HFIELD, GEOM_CYLINDER): _HF_CONVEX_K + 4,
     # robot-robot (self-collision) pairs, stored with type1 ≤ type2
@@ -699,14 +699,42 @@ def _hfield_sphere(m: Model, hpos, hmat, center, radius, margin=0.0):
     return d, pos, n
 
 
-def _hfield_capsule(m, hpos, hmat, cpos, cmat, radius, halflen, margin=0.0):
+def _hfield_capsule(m, hpos, hmat, cpos, cmat, radius, halflen, margin,
+                    n_span):
+    """Capsule vs heightfield: endpoint-sphere samples (exact vs MuJoCo for
+    end contacts — validated to 3e-9) plus 5 INTERIOR axis samples treated as
+    spheres against their local raised triangles, which add the mid-body
+    contacts the endpoint approximation misses (a calf across a terrain
+    ridge). A full prism-CCD term was tried and rejected: its min-translation
+    contacts claim deeper lateral penetrations MuJoCo's locally-measuring
+    pipeline does not emit (docs/PERF_NOTES.md). Interior samples within 2 mm
+    of an endpoint contact are dropped. n_span is accepted for signature
+    parity with the other hfield colliders (the axis samples look up their
+    own cells)."""
+    del n_span
+    dtype = cpos.dtype
     axis = cmat[:, 2]
     outs = [_hfield_sphere(m, hpos, hmat, cpos + axis * (s * halflen), radius,
                            margin)
             for s in (1.0, -1.0)]
-    return (jnp.concatenate([o[0] for o in outs]),
-            jnp.concatenate([o[1] for o in outs]),
-            jnp.concatenate([o[2] for o in outs]))
+    d = jnp.concatenate([o[0] for o in outs])
+    p = jnp.concatenate([o[1] for o in outs])
+    n = jnp.concatenate([o[2] for o in outs])
+
+    ts = jnp.asarray([-2.0 / 3, -1.0 / 3, 0.0, 1.0 / 3, 2.0 / 3], dtype)
+    centers = cpos[None, :] + ts[:, None] * halflen * axis[None, :]
+    local = (centers - hpos[None, :]) @ hmat
+    di, pi, ni = jax.vmap(
+        lambda c: _hfield_point_contact(m, c, radius + 0.5 * margin, margin,
+                                        dtype))(local)
+    pi = pi @ hmat.T + hpos[None, :]
+    ni = ni @ hmat.T
+    # drop interior samples that coincide with an endpoint contact
+    dd = jnp.linalg.norm(pi[:, None, :] - p[None, :, :], axis=-1)
+    dup = jnp.any((dd < 2e-3) & (d[None, :] < margin + 1e-6), axis=1)
+    di = jnp.where(dup, 1e6, di)
+    return (jnp.concatenate([d, di]), jnp.concatenate([p, pi]),
+            jnp.concatenate([n, ni]))
 
 
 def _hfield_point_contact(m: Model, local, r_eff, margin, dtype):
@@ -1171,8 +1199,9 @@ def collide(m: Model, kin) -> Contacts:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_sphere(
                 m, p1, R1, p2, s2[0], mg)
         elif t1 == GEOM_HFIELD and t2 == GEOM_CAPSULE:
-            fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_capsule(
-                m, p1, R1, p2, R2, s2[0], s2[1], mg)
+            n_span = hfield_span(m, g2)
+            fn = lambda p1, R1, p2, R2, s1, s2, mg, ns=n_span: \
+                _hfield_capsule(m, p1, R1, p2, R2, s2[0], s2[1], mg, ns)
         elif t1 == GEOM_HFIELD and t2 == GEOM_BOX:
             n_span = hfield_span(m, g2)
             fn = lambda p1, R1, p2, R2, s1, s2, mg, ns=n_span: _hfield_box(

@@ -51,7 +51,7 @@ def main(gtype='box'):
     if gtype == 'box':
         size = np.array([0.18, 0.12, 0.08])
         gsize = ' '.join(str(x) for x in size)
-    else:
+    else:  # cylinder / capsule
         size = np.array([0.06, 0.12, 0.0])
         gsize = f'{size[0]} {size[1]}'
     mj = mujoco.MjModel.from_xml_string(XML.format(gtype=gtype, gsize=gsize))
@@ -69,8 +69,12 @@ def main(gtype='box'):
     if gtype == 'box':
         ours_fn = jax.jit(lambda bp, bm: collision._hfield_box(
             fake, jnp.zeros(3), eye, bp, bm, jnp.asarray(size), 0.0, n_span))
-    else:
+    elif gtype == 'cylinder':
         ours_fn = jax.jit(lambda bp, bm: collision._hfield_cylinder(
+            fake, jnp.zeros(3), eye, bp, bm, float(size[0]), float(size[1]),
+            0.0, n_span))
+    else:
+        ours_fn = jax.jit(lambda bp, bm: collision._hfield_capsule(
             fake, jnp.zeros(3), eye, bp, bm, float(size[0]), float(size[1]),
             0.0, n_span))
 
