@@ -304,11 +304,14 @@ def witness(n, depth, starts, face_a, face_b, vol_a, vol_b, kappa=3e-7):
     shape = jnp.broadcast_shapes(n.shape, *[jnp.shape(s) for s in starts])
     for s in starts:
         s = jnp.broadcast_to(s, shape)
-        # two routes per start: through the face lattice, and raw — the face
-        # stage nails extended-feature kisses but can eject a start whose
-        # feature is not in this config's lattice (e.g. a shared grid vertex
-        # against a prism whose triangle extends toward the far box corner)
-        for w2 in (touch(_pocs(s, face_a, face_b)), touch(s)):
+        # three routes per start, residual-picked with earlier preference:
+        # the RAW face-lattice point (wins exact-tie degeneracies, where the
+        # touch stage would drift off the EPA-style endpoint), the touched
+        # face point (extended-feature kisses), and the touched raw start
+        # (features absent from this config's lattice — e.g. a shared grid
+        # vertex against a prism whose triangle extends toward a far corner)
+        w_face = _pocs(s, face_a, face_b)
+        for w2 in (w_face, touch(w_face), touch(s)):
             r2 = resid(w2)
             if best is None:
                 best, best_r = w2, r2

@@ -815,6 +815,17 @@ def _cyl_box_ccd(p1, R1, radius, halflen, p2, R2, size):
     depth_p, n_p = ccd.snap_polish(depth_fn_p, depth_p, n_p, axes_p)
     xa = ccd.support_cyl(n_p, p1, R1p, radius, halflen)
     xb = ccd.support_box(-n_p, p2, R2p, size)
+    # configs whose tilt axis is ∥ the cylinder axis leave the side-line tie
+    # UNBROKEN (rotating the cylinder about its own axis is a no-op), so the
+    # witness is indeterminate along the line — MuJoCo's EPA lands at a line
+    # ENDPOINT there (observed: its ±t contacts collapse onto the endpoints
+    # and dedup). Bias the face-POCS start past the end selected by the tilt
+    # sense; the face clip clamps it onto the segment end. Pinned (tie-broken)
+    # configs clamp the bias away, so only the degenerate ones are affected.
+    t1b, t2b = ccd.tangents(n0)
+    axes_t = jnp.stack([t1b, t1b, t2b, t2b])                  # (4, 3)
+    sgn_t = jnp.asarray([1.0, -1.0, 1.0, -1.0], p1.dtype)
+    bias = (sgn_t * (axes_t @ a))[:, None] * (2.0 * halflen) * a[None, :]
     # unperturbed canonical witness: alternate stage-2 start (see ccd.witness)
     m0 = ccd.cyl_face(n0, R1)
     b0 = ccd.box_face(-n0, R2, size)
@@ -827,7 +838,7 @@ def _cyl_box_ccd(p1, R1, radius, halflen, p2, R2, size):
     mask_ax, sgn_ax, mask_rad = ccd.cyl_face(n_p, R1p)
     bmask, bsgn = ccd.box_face(-n_p, R2p, size)
     pos_p = ccd.witness(
-        n_p, depth_p, [0.5 * (xa + xb), w0],
+        n_p, depth_p, [0.5 * (xa + xb) + bias, w0],
         lambda pt: ccd.clip_face_cyl(pt, p1, R1p, radius, halflen,
                                      mask_ax, sgn_ax, mask_rad, n_p),
         lambda pt: ccd.clip_face_box(pt, p2, R2p, size, bmask, bsgn),
