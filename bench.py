@@ -292,8 +292,31 @@ def measure_mpc_warm(batch: int) -> float:
     return _median_rate(solve, make_inputs, batch, reps=3)
 
 
+def _backend_watchdog(seconds=600):
+    """jax.devices() HANGS (not errors) when the axon tunnel is down — emit an
+    explicit one-line JSON error and exit instead of wedging the bench run.
+    Disarmed once the backend answers."""
+    import threading
+
+    def bail():
+        print(json.dumps({'metric': 'env_steps_per_s_go2_flat',
+                          'value': None, 'unit': 'steps/s',
+                          'error': f'backend unreachable after {seconds}s '
+                                   '(axon tunnel down?)'}), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
+
+    watchdog = _backend_watchdog()
+    jax.devices()          # blocks here if the tunnel is down
+    watchdog.cancel()
 
     # true-f32 matmul accumulation: the TPU bf16 MXU default breaks the solver
     jax.config.update('jax_default_matmul_precision', 'highest')
