@@ -109,6 +109,12 @@ def support_cyl(d, p, R, radius, halflen):
     return p + jnp.sign(da)[..., None] * halflen * a + radius * rdir
 
 
+def support_cap(d, p, R, radius, halflen):
+    a = R[..., :, 2]
+    da = jnp.sum(d * a, -1)
+    return p + jnp.sign(da)[..., None] * halflen * a + radius * d
+
+
 def support_verts(d, verts):
     """Support of a polytope given as (..., V, 3) vertices; d is (..., 3) with
     broadcastable leading dims. Ties (face-aligned d) return the centroid of
@@ -133,6 +139,11 @@ def supval_cyl(d, p, R, radius, halflen):
         jnp.linalg.norm(d - da[..., None] * a, axis=-1)
 
 
+def supval_cap(d, p, R, radius, halflen):
+    a = R[..., :, 2]
+    return jnp.sum(d * p, -1) + halflen * jnp.abs(jnp.sum(d * a, -1)) + radius
+
+
 def supval_verts(d, verts):
     return jnp.max(jnp.sum(d[..., None, :] * verts, -1), -1)
 
@@ -155,6 +166,15 @@ def clip_into_cyl(pt, p, R, radius, halflen):
     rad = rad * (jnp.minimum(rn, radius) / jnp.maximum(rn, 1e-12))
     return p + ax[..., None] * a + rad
 
+
+def clip_into_cap(pt, p, R, radius, halflen):
+    a = R[..., :, 2]
+    rel = pt - p
+    ax = jnp.clip(jnp.sum(rel * a, -1), -halflen, halflen)
+    axis_pt = p + ax[..., None] * a
+    off = pt - axis_pt
+    on = jnp.linalg.norm(off, axis=-1, keepdims=True)
+    return axis_pt + off * (jnp.minimum(on, radius) / jnp.maximum(on, 1e-12))
 
 _FACE_TOL = 2.5e-4   # support-face tie tolerance (between the multiccd tilt
                      # signal ~1e-3 and the snap-polished refine resolution)
@@ -369,6 +389,25 @@ def pattern_refine(depth_fn, d0, depth0, rounds=10, r0=0.35, rmax=None):
         best = jnp.where(take, v, best)
         rad = jnp.where(take, jnp.minimum(rad * 1.5, rmax), rad * 0.5)
     return best, bd
+
+
+def clip_face_cap(pt, p, R, radius, halflen, mask_ax, sgn_ax, d):
+    """Project pt onto a support face of the capsule along d: the sphere
+    offset radius*d from the (pinned or clamped) axis point. The capsule is
+    smooth except along its axis, so only the axial tie matters."""
+    a = R[..., :, 2]
+    da = jnp.sum(d * a, -1)
+    t = jnp.sum((pt - p) * a, -1) - radius * da   # axis point beneath pt
+    ax = jnp.where(mask_ax, sgn_ax * halflen,
+                   jnp.clip(t, -halflen, halflen))
+    return p + ax[..., None] * a + radius * d
+
+
+def cap_face(d, R, tol=_FACE_TOL):
+    """(mask_ax, sgn_ax) of the capsule support face along d."""
+    a = R[..., :, 2]
+    da = jnp.sum(d * a, -1)
+    return jnp.abs(da) > tol, jnp.sign(da)
 
 
 def snap_polish(depth_fn, depth, d, axes, thresh=0.02):

@@ -104,7 +104,7 @@ _NCON_TABLE = {
     (GEOM_PLANE, GEOM_BOX): 4,
     (GEOM_PLANE, GEOM_CYLINDER): 3,
     (GEOM_BOX, GEOM_SPHERE): 1,
-    (GEOM_BOX, GEOM_CAPSULE): 2,
+    (GEOM_BOX, GEOM_CAPSULE): 5,
     (GEOM_HFIELD, GEOM_SPHERE): 8,
     (GEOM_HFIELD, GEOM_CAPSULE): 16 + 5,
     (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K + 4,
@@ -116,7 +116,7 @@ _NCON_TABLE = {
     (GEOM_SPHERE, GEOM_BOX): 1,
     (GEOM_CAPSULE, GEOM_CAPSULE): 1,
     (GEOM_CAPSULE, GEOM_CYLINDER): 1,
-    (GEOM_CAPSULE, GEOM_BOX): 2,
+    (GEOM_CAPSULE, GEOM_BOX): 5,
     (GEOM_CYLINDER, GEOM_CYLINDER): 1,
     (GEOM_CYLINDER, GEOM_BOX): 5,
     (GEOM_BOX, GEOM_BOX): 4,
@@ -495,7 +495,96 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
     for (d_c, pw, nw) in corners_in(P2, R2c, S2, P1, R1c, S1):
         cands.append((d_c, pw, [-x for x in nw]))  # outward of box2 = g2→g1
 
-    # 4 deepest of the 16 candidates — static unrolled min extraction
+    # ---- edge-edge term: corner sampling alone misses contacts where no
+    # corner penetrates (two edges crossing). SAT over the 9 cross axes; the
+    # minimal-depth axis's support edges give the closest-point contact. ----
+    T = [P2[i] - P1[i] for i in range(3)]
+    ax1 = [[R1c[i][j] for i in range(3)] for j in range(3)]   # box1 axis j
+    ax2 = [[R2c[i][j] for i in range(3)] for j in range(3)]
+    big0 = jnp.asarray(1e9, dtype)
+
+    def dot3(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+    def cross3(u, v):
+        return [u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0]]
+
+    def overlap(L):
+        r1 = sum(S1[j] * jnp.abs(dot3(ax1[j], L)) for j in range(3))
+        r2 = sum(S2[j] * jnp.abs(dot3(ax2[j], L)) for j in range(3))
+        return r1 + r2 - jnp.abs(dot3(T, L))
+
+    # face-axis overlaps: separation check + the edge candidate is only valid
+    # when its cross axis is the GLOBAL SAT minimum (otherwise the contact is
+    # face-type and the cross-axis "depth" is a large interior overlap)
+    sep = jnp.full((G,), -big0, dtype)
+    min_face = jnp.full((G,), big0, dtype)
+    for axs in (ax1, ax2):
+        for j in range(3):
+            ov = overlap(axs[j])
+            sep = jnp.maximum(sep, -ov)
+            min_face = jnp.minimum(min_face, ov)
+
+    best_d = jnp.full((G,), big0, dtype)
+    best = None
+    for j1 in range(3):
+        for j2 in range(3):
+            L = cross3(ax1[j1], ax2[j2])
+            nl = jnp.sqrt(jnp.maximum(dot3(L, L), 1e-30))
+            ok = nl > 1e-8                      # parallel edges: axis invalid
+            Lu = [L[i] / nl for i in range(3)]
+            # orient box1 -> box2
+            st = jnp.where(dot3(T, Lu) >= 0, 1.0, -1.0)
+            Lu = [st * Lu[i] for i in range(3)]
+            dep = overlap(Lu)
+            sep = jnp.maximum(sep, jnp.where(ok, -dep, -big0))
+            # support edges: box1's corner extreme along +Lu on its other two
+            # axes, box2's along -Lu
+            c1 = list(P1)
+            c2 = list(P2)
+            for k in range(3):
+                if k != j1:
+                    sgn = jnp.where(dot3(ax1[k], Lu) >= 0, 1.0, -1.0)
+                    c1 = [c1[i] + sgn * S1[k] * ax1[k][i] for i in range(3)]
+                if k != j2:
+                    sgn = jnp.where(dot3(ax2[k], Lu) >= 0, -1.0, 1.0)
+                    c2 = [c2[i] + sgn * S2[k] * ax2[k][i] for i in range(3)]
+            # closest points of segments (c1 ± S1[j1] u, c2 ± S2[j2] v)
+            u, v = ax1[j1], ax2[j2]
+            w0 = [c1[i] - c2[i] for i in range(3)]
+            b_uv = dot3(u, v)
+            d_u = dot3(u, w0)
+            d_v = dot3(v, w0)
+            den = jnp.maximum(1.0 - b_uv * b_uv, 1e-12)
+            t_u = jnp.clip((b_uv * d_v - d_u) / den, -S1[j1], S1[j1])
+            t_v = jnp.clip((t_u * b_uv - d_v), -S2[j2], S2[j2])
+            t_u = jnp.clip(t_v * b_uv - d_u, -S1[j1], S1[j1])
+            q1 = [c1[i] + t_u * u[i] for i in range(3)]
+            q2 = [c2[i] + t_v * v[i] for i in range(3)]
+            mid = [0.5 * (q1[i] + q2[i]) for i in range(3)]
+            d_e = jnp.where(ok, -dep, big0)
+            take = d_e < best_d
+            best_d = jnp.minimum(best_d, d_e)
+            if best is None:
+                best = (mid, Lu)
+            else:
+                best = ([jnp.where(take, mid[i], best[0][i])
+                         for i in range(3)],
+                        [jnp.where(take, Lu[i], best[1][i])
+                         for i in range(3)])
+    # suppress when separated along any axis or when a corner candidate
+    # already covers this contact (within 2 mm)
+    near_corner = jnp.zeros((G,), bool)
+    for (d_c, pw, _) in cands:
+        dd2 = sum((pw[i] - best[0][i]) ** 2 for i in range(3))
+        near_corner = near_corner | ((dd2 < 4e-6) & (d_c < 0))
+    d_edge = jnp.where((sep > 0) | near_corner | (-best_d > min_face),
+                       big0, best_d)
+    cands.append((d_edge, best[0], best[1]))
+
+    # 4 deepest of the 17 candidates — static unrolled min extraction
     big = jnp.asarray(1e9, dtype)
     ds = [c[0] for c in cands]
     sel_d, sel_p, sel_n = [], [], []
@@ -510,9 +599,9 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
             taken = taken | hit
             w.append(hit.astype(dtype))
         sel_d.append(dmin)
-        sel_p.append([sum(w[c] * cands[c][1][i] for c in range(16))
+        sel_p.append([sum(w[c] * cands[c][1][i] for c in range(len(cands)))
                       for i in range(3)])
-        sel_n.append([sum(w[c] * cands[c][2][i] for c in range(16))
+        sel_n.append([sum(w[c] * cands[c][2][i] for c in range(len(cands)))
                       for i in range(3)])
         ds = [dd + ww * big for dd, ww in zip(ds, w)]
 
@@ -844,6 +933,73 @@ def _cyl_box_ccd(p1, R1, radius, halflen, p2, R2, size):
         lambda pt: ccd.clip_face_box(pt, p2, R2p, size, bmask, bsgn),
         lambda pt: ccd.clip_into_cyl(pt, p1, R1p, radius, halflen),
         lambda pt: ccd.clip_into_box(pt, p2, R2p, size))
+    return ccd.manifold_from_perturbed(depth0, n0, depth_p, pos_p, n_p)
+
+
+def _cap_box_ccd(p1, R1, radius, halflen, p2, R2, size):
+    """Capsule (geom1) vs box (geom2) via the same decoded multiccd pipeline
+    as _cyl_box_ccd (MuJoCo collides this pair with nativeccd + multiccd as
+    well). A capsule is a segment Minkowski-dilated by its radius, so its
+    support value is the segment's plus a constant — all the machinery
+    carries over with the capsule support/clip/face functions."""
+    def depth_fn(d):
+        return (ccd.supval_cap(d, p1, R1, radius, halflen)
+                + ccd.supval_box(-d, p2, R2, size))
+
+    a = R1[:, 2]
+    t = jnp.clip((p2 - p1) @ a, -halflen, halflen)
+    signs = jnp.asarray(_BOX_CORNER_SIGNS, p1.dtype)
+    corners = p2[None, :] + (signs * size[None, :]) @ R2.T        # (8, 3)
+    tc = jnp.clip((corners - p1) @ a, -halflen, halflen)
+    rad_corner = corners - (p1[None, :] + tc[:, None] * a[None, :])
+    cands = jnp.concatenate([
+        jnp.stack([R2[:, 0], R2[:, 1], R2[:, 2], a,
+                   jnp.cross(R2[:, 0], a), jnp.cross(R2[:, 1], a),
+                   jnp.cross(R2[:, 2], a), (p1 + t * a) - p2]),
+        rad_corner])
+    d0_depth, d0 = ccd.best_axis(depth_fn, cands)
+    depth0, n0 = ccd.pattern_refine(depth_fn, d0, d0_depth, rounds=16)
+    axes0 = jnp.stack([a, R2[:, 0], R2[:, 1], R2[:, 2]])
+    depth0, n0 = ccd.snap_polish(depth_fn, depth0, n0, axes0)
+
+    Ra, Rb = ccd.perturb_rots(n0)                             # (4, 3, 3)
+    R1p, R2p = Ra @ R1, Rb @ R2
+
+    def depth_fn_p(d):
+        exp = (slice(None),) + (None,) * (d.ndim - 2)
+        return (ccd.supval_cap(d, p1, R1p[exp], radius, halflen)
+                + ccd.supval_box(-d, p2, R2p[exp], size))
+
+    n0b = jnp.broadcast_to(n0, (4, 3))
+    depth_p, n_p = ccd.pattern_refine(depth_fn_p, n0b, depth_fn_p(n0b),
+                                      rounds=8, r0=8e-3)
+    axes_p = jnp.concatenate([R1p[:, :, 2:3].swapaxes(-1, -2),
+                              R2p.swapaxes(-1, -2)], axis=-2)  # (4, 4, 3)
+    depth_p, n_p = ccd.snap_polish(depth_fn_p, depth_p, n_p, axes_p)
+    xa = ccd.support_cap(n_p, p1, R1p, radius, halflen)
+    xb = ccd.support_box(-n_p, p2, R2p, size)
+    # endpoint bias for tie-degenerate tilts (see _cyl_box_ccd)
+    t1b, t2b = ccd.tangents(n0)
+    axes_t = jnp.stack([t1b, t1b, t2b, t2b])
+    sgn_t = jnp.asarray([1.0, -1.0, 1.0, -1.0], p1.dtype)
+    bias = (sgn_t * (axes_t @ a))[:, None] * (2.0 * halflen) * a[None, :]
+    m0 = ccd.cap_face(n0, R1)
+    b0 = ccd.box_face(-n0, R2, size)
+    w0 = ccd.pocs(
+        0.5 * (ccd.support_cap(n0, p1, R1, radius, halflen)
+               + ccd.support_box(-n0, p2, R2, size)),
+        lambda pt: ccd.clip_face_cap(pt, p1, R1, radius, halflen, *m0, n0),
+        lambda pt: ccd.clip_face_box(pt, p2, R2, size, *b0))
+    mask_ax, sgn_ax = ccd.cap_face(n_p, R1p)
+    bmask, bsgn = ccd.box_face(-n_p, R2p, size)
+    pos_p = ccd.witness(
+        n_p, depth_p, [0.5 * (xa + xb) + bias, w0],
+        lambda pt: ccd.clip_face_cap(pt, p1, R1p, radius, halflen,
+                                     mask_ax, sgn_ax, n_p),
+        lambda pt: ccd.clip_face_box(pt, p2, R2p, size, bmask, bsgn),
+        lambda pt: ccd.clip_into_cap(pt, p1, R1p, radius, halflen),
+        lambda pt: ccd.clip_into_box(pt, p2, R2p, size),
+    )
     return ccd.manifold_from_perturbed(depth0, n0, depth_p, pos_p, n_p)
 
 
@@ -1203,8 +1359,11 @@ def collide(m: Model, kin) -> Contacts:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _box_sphere(
                 p1, R1, s1, p2, s2[0])
         elif t1 == GEOM_BOX and t2 == GEOM_CAPSULE:
-            fn = lambda p1, R1, p2, R2, s1, s2, mg: _box_capsule(
-                p1, R1, s1, p2, R2, s2[0], s2[1])
+            # world box (geom1) vs robot capsule (geom2): CCD runs capsule
+            # first; flip the normal back to the geom1→geom2 convention
+            def fn(p1, R1, p2, R2, s1, s2, mg):
+                d, pos, n = _cap_box_ccd(p2, R2, s2[0], s2[1], p1, R1, s1)
+                return d, pos, -n
         elif t1 == GEOM_HFIELD and t2 == GEOM_SPHERE:
             # the margin bias rides the convex hfield pipeline only
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _hfield_sphere(
@@ -1245,9 +1404,8 @@ def collide(m: Model, kin) -> Contacts:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _capsule_capsule(
                 p1, R1, s1[0], s1[1], p2, R2, s2[0], s2[1])
         elif t1 == GEOM_CAPSULE and t2 == GEOM_BOX:
-            def fn(p1, R1, p2, R2, s1, s2, mg):
-                d, pos, n = _box_capsule(p2, R2, s2, p1, R1, s1[0], s1[1])
-                return d, pos, -n
+            fn = lambda p1, R1, p2, R2, s1, s2, mg: _cap_box_ccd(
+                p1, R1, s1[0], s1[1], p2, R2, s2)
         elif t1 == GEOM_CYLINDER and t2 == GEOM_CYLINDER:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _capsule_capsule(
                 p1, R1, s1[0], s1[1], p2, R2, s2[0], s2[1])
