@@ -100,7 +100,8 @@ def measure_engine(robot: str, scene: str, batch: int, n_steps: int,
     qpos0 = jnp.tile(jnp.asarray(model.key_qpos[0], dtype), (batch, 1))
     qvel0 = jnp.zeros((batch, model.nv), dtype)
     warm0 = jnp.zeros((batch, model.nv), dtype)
-    iters = int(os.environ.get('BENCH_SOLVER_ITERS', 10))
+    iters = int(os.environ.get('BENCH_SOLVER_ITERS',
+                               engine.DEFAULT_SOLVER_ITERS))
 
     @jax.jit
     def run(qpos, qvel, warm, ctrl_seq):
@@ -292,31 +293,43 @@ def measure_mpc_warm(batch: int) -> float:
     return _median_rate(solve, make_inputs, batch, reps=3)
 
 
-def _backend_watchdog(seconds=600):
-    """jax.devices() HANGS (not errors) when the axon tunnel is down — emit an
-    explicit one-line JSON error and exit instead of wedging the bench run.
-    Disarmed once the backend answers."""
-    import threading
+def _wait_for_backend(total_budget=3000, attempt_timeout=120):
+    """jax.devices() HANGS (not errors) when the axon tunnel is down. Probe the
+    backend in SUBPROCESSES (a hung in-process call cannot be cancelled) and
+    keep retrying for the full budget — round 2 lost its entire bench artifact
+    to a transient tunnel outage and a single 600-s bail (BENCH_r02.json).
+    Emits a one-line JSON error and exits only after the whole budget is spent."""
+    import subprocess
+    import sys
 
-    def bail():
-        print(json.dumps({'metric': 'env_steps_per_s_go2_flat',
-                          'value': None, 'unit': 'steps/s',
-                          'error': f'backend unreachable after {seconds}s '
-                                   '(axon tunnel down?)'}), flush=True)
-        os._exit(2)
-
-    t = threading.Timer(seconds, bail)
-    t.daemon = True
-    t.start()
-    return t
+    deadline = time.monotonic() + total_budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; jax.devices(); print("up")'],
+                timeout=attempt_timeout, capture_output=True, text=True)
+            if r.returncode == 0 and 'up' in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(json.dumps({'metric': 'env_steps_per_s_go2_flat',
+                              'value': None, 'unit': 'steps/s',
+                              'error': f'backend unreachable after '
+                                       f'{total_budget}s / {attempt} attempts '
+                                       '(axon tunnel down?)'}), flush=True)
+            os._exit(2)
+        time.sleep(30)
 
 
 def main():
     import jax
 
-    watchdog = _backend_watchdog()
-    jax.devices()          # blocks here if the tunnel is down
-    watchdog.cancel()
+    _wait_for_backend()
+    jax.devices()          # backend verified reachable just above
 
     # true-f32 matmul accumulation: the TPU bf16 MXU default breaks the solver
     jax.config.update('jax_default_matmul_precision', 'highest')

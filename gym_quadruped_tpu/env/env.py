@@ -66,7 +66,7 @@ class QuadrupedEnv:
         sensors_kwargs: Sequence[dict] | None = None,
         external_disturbances_kwargs: dict | None = None,
         model: Model | None = None,
-        solver_iterations: int = 10,
+        solver_iterations: int | None = None,
         max_contacts: int | None = None,
     ):
         self.robot_name = robot
@@ -83,7 +83,9 @@ class QuadrupedEnv:
         self.legs_order = tuple(legs_order)
         self.state_obs_names = tuple(state_obs_names)
         self.external_disturbances_kwargs = external_disturbances_kwargs
-        self.solver_iterations = solver_iterations
+        self.solver_iterations = (engine.DEFAULT_SOLVER_ITERS
+                                  if solver_iterations is None
+                                  else solver_iterations)
         # per-scene override of the cone-contact cap (engine.MAX_CONE_CONTACTS):
         # raise for cluttered scenes where >32 slots can touch simultaneously
         self.max_contacts = (engine.MAX_CONE_CONTACTS if max_contacts is None

@@ -81,6 +81,11 @@ def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None,
             contacts, efc)
 
 
+# Default Newton iteration cap. Overridable via GQT_SOLVER_ITERS so the whole
+# parity suite can be re-gated at a reduced cap (the measured hardware ladder:
+# it=10: 74k, it=8: 85k, it=6: 98k steps/s at B=4096 — docs/PERF_NOTES.md).
+DEFAULT_SOLVER_ITERS = int(__import__('os').environ.get('GQT_SOLVER_ITERS', 10))
+
 # cap on simultaneously-solved cone contacts (MuJoCo similarly caps contacts);
 # exact whenever ≤ MAX_CONE_CONTACTS slots touch, and it bounds solver cost on
 # slot-heavy scenes (go2/flat C=99, go2/random_boxes C=1999 → 32). Sized from
@@ -90,7 +95,7 @@ MAX_CONE_CONTACTS = 32
 
 
 def forward(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
-            warmstart=None, solver_iterations: int = 10, con_mu=None,
+            warmstart=None, solver_iterations: int = DEFAULT_SOLVER_ITERS, con_mu=None,
             max_contacts: int = MAX_CONE_CONTACTS) -> Forward:
     (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth, contacts,
      efc) = _pre_solve(m, qpos, qvel, ctrl, qfrc_applied, con_mu, max_contacts)
@@ -151,7 +156,7 @@ def euler(m: Model, qpos, qvel, fwd: Forward):
 
 
 def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
-         solver_iterations: int = 10, con_mu=None,
+         solver_iterations: int = DEFAULT_SOLVER_ITERS, con_mu=None,
          max_contacts: int = MAX_CONE_CONTACTS):
     """mj_step equivalent: returns (qpos', qvel', Forward-at-old-state)."""
     fwd = forward(m, qpos, qvel, ctrl, qfrc_applied, warmstart, solver_iterations,
@@ -161,7 +166,7 @@ def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
 
 
 def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
-                 warmstart=None, solver_iterations: int = 10, con_mu=None,
+                 warmstart=None, solver_iterations: int = DEFAULT_SOLVER_ITERS, con_mu=None,
                  max_contacts: int = MAX_CONE_CONTACTS):
     """Batch-level mj_step: identical math to vmap(step) but the Newton
     constraint solve runs as ONE fused Pallas kernel per batch chunk
