@@ -31,18 +31,21 @@ from gym_quadruped_tpu.models.model import Model
 from gym_quadruped_tpu.physics.constraints import ConstraintLayout, Efc
 
 INTERPRET = False
-# Compiles and runs on real TPUs only up to C=4 cone blocks (one slot per foot —
-# the flat-ground happy path); C≥6 crashes the remote compile helper even though
-# VMEM arithmetic fits, and the subprocess hides the diagnostic. Verified
-# numerically in interpreter mode at any C (tests/test_newton_bt.py). Gated off
-# until the compiler issue is understood; see docs/PERF_NOTES.md.
-ENABLE = False
+# Round-2's C≥6 wall was NOT a Mosaic limitation: the kernel's VMEM working set
+# (cone Jacobians + constraint data + H scratch) exceeds the compiler's default
+# 16 MB scoped-vmem budget, and the remote compile helper hid the OOM
+# diagnostic. With vmem_limit_bytes raised (see _call) the production C=32
+# kernel compiles and runs on real v5e hardware (scripts/probe_bt_compile.py).
+ENABLE = True
 # XLA fallback flavor when the Pallas kernel is off: 'vmap' (production) or
 # 'bt' (batch-trailing solve_batched — slower on v5e, kept for study)
 XLA_FALLBACK = 'vmap'
 _SUB, _LANES = 8, 128
 _CHUNK = _SUB * _LANES
-_LS_GRID = [float(x) for x in np.geomspace(1e-3, 64.0, 14)]
+# SAME grid as physics/solver.py's linesearch: with a shorter grid (tried:
+# max 64) hard tumbling states need t>max and the kernel's iterates drift from
+# the XLA solver's, costing convergence within the iteration cap.
+_LS_GRID = [float(x) for x in np.geomspace(1e-3, 256.0, 15)]
 _LS_BISECT = 6
 
 
@@ -261,11 +264,12 @@ def _chol_solve_inplace(Hs, g, n):
 
 
 def _solver_kernel(nv, ns, C, iterations,
-                   M_ref, a_ref, J_ref, aref_ref, R_ref, act_ref, fl_ref,
-                   cJ_ref, caref_ref, cR_ref, cact_ref, cmu_ref, cmask_ref,
-                   qacc_ref, fs_ref, fc_ref, qfrc_ref, Hs):
+                   M_ref, a_ref, a0_ref, J_ref, aref_ref, R_ref, act_ref,
+                   fl_ref, cJ_ref, caref_ref, cR_ref, cact_ref, cmu_ref,
+                   cmask_ref, qacc_ref, fs_ref, fc_ref, qfrc_ref, Hs):
     M = M_ref[:]               # (nv, nv, *T)
     a_smooth = a_ref[:]        # (nv, *T)
+    a0 = a0_ref[:]             # (nv, *T) warm start (mjData.qacc_warmstart)
     J = J_ref[:]               # (ns, nv, *T)
     aref = aref_ref[:]
     R = R_ref[:]
@@ -355,7 +359,7 @@ def _solver_kernel(nv, ns, C, iterations,
         lo, hi = jax.lax.fori_loop(0, _LS_BISECT, bisect, (lo, hi))
         return a + 0.5 * (lo + hi) * p
 
-    a = jax.lax.fori_loop(0, iterations, newton_iter, a_smooth)
+    a = jax.lax.fori_loop(0, iterations, newton_iter, a0)
 
     us = _mv(J, a) - aref
     uc = _cmv(cJ, a) - caref
@@ -393,7 +397,7 @@ def _call(nv, ns, C, Bp, iterations, interpret):
                             memory_space=pltpu.VMEM)
 
     in_specs = [spec(s) for s in (
-        (nv, nv), (nv,), (ns, nv), (ns,), (ns,), (ns,), (ns,),
+        (nv, nv), (nv,), (nv,), (ns, nv), (ns,), (ns,), (ns,), (ns,),
         (C, 6, nv), (C, 6), (C, 6), (C,), (C, 5), (C, 6))]
     out_leads = ((nv,), (ns,), (C, 6), (nv,))
     return pl.pallas_call(
@@ -403,6 +407,11 @@ def _call(nv, ns, C, Bp, iterations, interpret):
         out_shape=tuple(jax.ShapeDtypeStruct(s + (rows, _LANES), jnp.float32)
                         for s in out_leads),
         scratch_shapes=[pltpu.VMEM((nv, nv, _SUB, _LANES), jnp.float32)],
+        # the working set at C=32 (cone Jacobians + constraint data + H scratch)
+        # exceeds the compiler's default 16 MB scoped-vmem budget; raise it
+        # toward the physical VMEM (the C=16 compile needs ~18.4 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -420,7 +429,8 @@ def solve_batched_bt(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
     C = efc.con_J.shape[1]
     on_tpu = jax.default_backend() == 'tpu'
     use_kernel = (((on_tpu and ENABLE) or INTERPRET)
-                  and a_smooth.dtype == jnp.float32 and ns > 0 and C > 0)
+                  and a_smooth.dtype == jnp.float32 and ns > 0 and C > 0
+                  and a_smooth.shape[1] <= 18 and C <= 32)
     if not use_kernel:
         if XLA_FALLBACK == 'bt' and warmstart is None:
             # batch-trailing XLA solver (physics/solver.py solve_batched):
@@ -453,8 +463,9 @@ def solve_batched_bt(m: Model, lay: ConstraintLayout, M, a_smooth, efc: Efc,
         eye = jnp.broadcast_to(jnp.eye(nv, dtype=jnp.float32), (pad, nv, nv))
         M_in = jnp.concatenate([M_in, eye], axis=0)
 
+    a0 = a_smooth if warmstart is None else warmstart
     args = (
-        _to_tiles(M_in), prep(a_smooth),
+        _to_tiles(M_in), prep(a_smooth), prep(a0),
         prep(efc.J), prep(efc.aref), prep(efc.R, 1.0), prep(efc.active),
         prep(efc.frictionloss),
         prep(efc.con_J), prep(efc.con_aref), prep(efc.con_R, 1.0),
