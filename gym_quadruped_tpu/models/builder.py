@@ -8,6 +8,7 @@ archives under models/compiled/ let `load_model` work without MJCF assets instal
 
 from __future__ import annotations
 
+import functools
 import tempfile
 import xml.etree.ElementTree as ET
 from pathlib import Path
@@ -25,11 +26,12 @@ def _patch_robot_xml(robot_xml: Path, out_dir: Path) -> Path:
     """Produce a physics-equivalent robot MJCF with mesh geoms stripped.
 
     Every shipped robot declares explicit <inertial> blocks, so mesh geoms carry no
-    mass properties — visual meshes are physics-irrelevant, and mesh *collision*
-    geoms are excluded from the v0 contact set (foot spheres + primitive geoms are
-    the ground-contact contract; see Model.contact_pairs). Stripping also sidesteps
-    missing .obj assets in some checkouts (e.g. go2 base_4.obj) and makes compiles
-    ~100x faster (no convex-hull computation).
+    mass properties — visual meshes are physics-irrelevant. Robots whose reference
+    models collide THROUGH meshes (hyqreal1, mini_cheetah) are never stripped
+    (build_mj_model's auto mode keeps their full models and the engine collides
+    their convex hulls); stripping applies to robots whose collidable geoms are all
+    primitives. It also sidesteps missing .obj assets in some checkouts (e.g. go2
+    base_4.obj) and makes compiles ~100x faster (no convex-hull computation).
 
     Remaining relative asset references (none, after stripping) would break when the
     file moves, so the patched file keeps the original's directory via meshdir.
@@ -63,8 +65,8 @@ def compose_scene_xml(robot: str, scene: str = 'flat', seed: int = 10,
 
     Mirrors the reference's scene assembly (quadruped_env.py:149-168): generate the
     terrain document, insert an <include> of the robot MJCF, write to disk.
-    strip_meshes=False keeps the robot's visual mesh geoms (display models —
-    the physics Model always builds from the stripped variant).
+    strip_meshes=False keeps the robot's mesh geoms (display models, and the
+    physics models of mesh-colliding robots — see build_mj_model).
     """
     from gym_quadruped_tpu.models.robots import find_assets_dir
 
@@ -121,16 +123,44 @@ def _attach_hfield_asset(tree, hip_height: float, nrow: int = 128, ncol: int = 1
     return tree, limits
 
 
-def build_mj_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
-                   seed: int = 10, hfield: np.ndarray | None = None,
-                   strip_meshes: bool = True):
-    """Compile with MuJoCo and apply the reference's post-compile mutations.
+@functools.lru_cache(maxsize=16)
+def _has_collidable_meshes(robot: str) -> bool:
+    """True when the robot's FULL model compiles AND has collidable mesh geoms.
 
-    Returns (mjModel, terrain_limits). Used by build_model and by parity tests
-    (both sides must see the *same* compiled model).
+    hyqreal1 (9 of 13 collidable geoms) and mini_cheetah (11 of 15) collide
+    mostly through meshes in the reference (robot_model/hyqreal1/hyqreal1.xml,
+    robot_model/mini_cheetah/mini_cheetah.xml); their physics models must keep
+    them. Robots whose collidable geoms are all primitives — or whose mesh
+    assets are incomplete in this checkout (go2/go1/b2/spot .obj missing) —
+    keep the fast stripped build.
     """
     import mujoco
 
+    try:
+        xml_path, _ = compose_scene_xml(robot, 'flat', strip_meshes=False)
+        m = mujoco.MjModel.from_xml_path(xml_path)
+    except Exception:
+        return False
+    return any(
+        int(m.geom_type[g]) == GEOM_MESH
+        and (m.geom_contype[g] or m.geom_conaffinity[g])
+        for g in range(m.ngeom))
+
+
+def build_mj_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
+                   seed: int = 10, hfield: np.ndarray | None = None,
+                   strip_meshes: bool | None = None):
+    """Compile with MuJoCo and apply the reference's post-compile mutations.
+
+    Returns (mjModel, terrain_limits). Used by build_model and by parity tests
+    (both sides must see the *same* compiled model). strip_meshes=None (auto)
+    keeps meshes for robots whose reference models collide through them
+    (hyqreal1, mini_cheetah) and strips them otherwise.
+    """
+    import mujoco
+
+    if strip_meshes is None:
+        strip_meshes = not _has_collidable_meshes(robot)
     cfg = get_robot_config(robot)
     xml_path, limits = compose_scene_xml(robot, scene, seed,
                                          strip_meshes=strip_meshes)
@@ -144,9 +174,6 @@ def build_mj_model(robot: str, scene: str = 'flat', sim_dt: float = 0.002,
             hfield = reference_perlin_hfield()
         m.hfield_data[:] = hfield.ravel()
     return m, limits
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)
@@ -264,8 +291,9 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
     imu_site_id = site_names.index(cfg.imu_site_name) if (
         cfg.imu_site_name in site_names) else -1
 
-    # Static candidate contact pairs. Mesh robot geoms are excluded for now
-    # (foot spheres + primitive leg geoms cover the shipped robots' contacts).
+    # Static candidate contact pairs — including collidable MESH geoms (the
+    # narrow phase dispatches per type pair; contact_layout skips any pair
+    # type without a collider, e.g. hfield-mesh, with a build-time note).
     # (a) world geoms × robot geoms (stored world-first), MuJoCo's
     #     contype/conaffinity compatibility test.
     pairs = []
@@ -273,7 +301,7 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
         if m.geom_bodyid[gw] != 0:
             continue
         for gr in range(m.ngeom):
-            if m.geom_bodyid[gr] == 0 or m.geom_type[gr] == GEOM_MESH:
+            if m.geom_bodyid[gr] == 0:
                 continue
             compat = (m.geom_contype[gw] & m.geom_conaffinity[gr]) or \
                      (m.geom_contype[gr] & m.geom_conaffinity[gw])
@@ -290,11 +318,11 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
     self_candidates = []
     for ga in range(m.ngeom):
         ba = int(m.geom_bodyid[ga])
-        if ba == 0 or m.geom_type[ga] == GEOM_MESH:
+        if ba == 0:
             continue
         for gb in range(ga + 1, m.ngeom):
             bb = int(m.geom_bodyid[gb])
-            if bb == 0 or m.geom_type[gb] == GEOM_MESH or ba == bb:
+            if bb == 0 or ba == bb:
                 continue
             if int(m.body_parentid[ba]) == bb or int(m.body_parentid[bb]) == ba:
                 continue
@@ -310,6 +338,55 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
         reachable = _reachable_pairs(m, self_candidates)
         pairs.extend(reachable)
     contact_pairs = np.array(pairs, np.int32).reshape(-1, 2)
+
+    # Convex-hull data for collidable mesh geoms (plane-mesh collider;
+    # mjc_PlaneConvex decode in scripts/probe_plane_mesh*.py). Hull vertices
+    # and the mesh_graph adjacency lists, padded to (nmesh, Vmax, *).
+    used_meshes = sorted({int(m.geom_dataid[g]) for g in range(m.ngeom)
+                          if m.geom_type[g] == GEOM_MESH
+                          and (m.geom_contype[g] or m.geom_conaffinity[g])})
+    mesh_id_map = {mid: k for k, mid in enumerate(used_meshes)}
+    hulls = []
+    for mid in used_meshes:
+        adr = int(m.mesh_graphadr[mid])
+        if adr < 0:
+            raise ValueError(f'mesh {mid} has no convex-hull graph')
+        graph = m.mesh_graph[adr:]
+        numvert = int(graph[0])
+        vert_edgeadr = graph[2:2 + numvert]
+        vert_globalid = graph[2 + numvert:2 + 2 * numvert]
+        edge_localid = graph[2 + 2 * numvert:]
+        vadr = int(m.mesh_vertadr[mid])
+        verts = np.asarray(m.mesh_vert[vadr + vert_globalid], np.float64)
+        nbrs = []
+        for i in range(numvert):
+            adj = []
+            j = int(vert_edgeadr[i])
+            while edge_localid[j] >= 0:
+                adj.append(int(edge_localid[j]))
+                j += 1
+            nbrs.append(adj)
+        hulls.append((verts, nbrs))
+    if hulls:
+        vmax = max(len(v) for v, _ in hulls)
+        dmax = max((len(a) for _, ns in hulls for a in ns), default=1)
+        mesh_vert = np.zeros((len(hulls), vmax, 3))
+        mesh_vertnum = np.zeros(len(hulls), np.int32)
+        mesh_nbr = np.full((len(hulls), vmax, dmax), -1, np.int32)
+        for k, (verts, nbrs) in enumerate(hulls):
+            mesh_vert[k, :len(verts)] = verts
+            mesh_vertnum[k] = len(verts)
+            for i, adj in enumerate(nbrs):
+                mesh_nbr[k, i, :len(adj)] = adj
+    else:
+        mesh_vert = np.zeros((0, 0, 3))
+        mesh_vertnum = np.zeros(0, np.int32)
+        mesh_nbr = np.zeros((0, 0, 0), np.int32)
+    # geom_dataid remapped into the compact hull table (-1 = no hull)
+    geom_dataid = np.full(m.ngeom, -1, np.int32)
+    for g in range(m.ngeom):
+        if m.geom_type[g] == GEOM_MESH:
+            geom_dataid[g] = mesh_id_map.get(int(m.geom_dataid[g]), -1)
 
     nkey = max(m.nkey, 0)
     if m.nhfield > 0:
@@ -391,4 +468,6 @@ def extract_model(m, robot: str, scene: str, terrain_limits) -> Model:
         legs_tau_idx=np.array(legs_tau, np.int32),
         hip_body_id=hip_body_id, imu_site_id=int(imu_site_id),
         contact_pairs=contact_pairs,
+        geom_dataid=geom_dataid, geom_rbound=m.geom_rbound.copy(),
+        mesh_vert=mesh_vert, mesh_vertnum=mesh_vertnum, mesh_nbr=mesh_nbr,
     )

@@ -164,6 +164,23 @@ class Model:
     # columns: geom_world, geom_robot (world geoms are on body 0)
     contact_pairs: np.ndarray    # (npair, 2) int
 
+    # --- convex hulls of collidable mesh geoms (optional; zero-size when absent) -
+    # Hull vertices live in the geom frame (MuJoCo bakes the mesh principal
+    # rotation into geom_quat at compile: world = R_geom @ vert + geom_xpos).
+    # mesh_nbr holds each hull vertex's neighbor list in the mesh_graph's
+    # adjacency ORDER (-1 padded) — mjc_PlaneConvex walks it in that order and
+    # the manifold is order-dependent (decoded in scripts/probe_plane_mesh*.py).
+    geom_dataid: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32))   # (ngeom,) -1 if not mesh
+    geom_rbound: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0))             # (ngeom,)
+    mesh_vert: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0, 3)))     # (nmesh, Vmax, 3)
+    mesh_vertnum: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32))   # (nmesh,)
+    mesh_nbr: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0, 0), np.int32))  # (nmesh, Vmax, D)
+
     # --------------------------------------------------------------------------
     def name2id(self, kind: str, name: str) -> int:
         table = {'body': self.body_names, 'joint': self.jnt_names,

@@ -10,9 +10,11 @@ Conventions match MuJoCo: contact normal points from geom1 (world) to geom2 (rob
 midpoint; `frame` rows are (normal, tangent1, tangent2) with MuJoCo's mju_makeNormal
 tangent construction (pyramidal-cone parity requires the exact tangent basis).
 
-Supported pairs: {sphere, capsule} × {plane, box, hfield} and box×plane,
-cylinder×plane (endpoint approximation) — covers the ground contacts of all shipped
-robots after mesh stripping (feet are spheres: go2.xml:113, mini_cheetah.xml:78).
+Supported pairs: {sphere, capsule} × {plane, box, hfield}, box×plane,
+cylinder×plane, and plane×mesh (convex hulls — hyqreal1/mini_cheetah collide
+through meshes in the reference). Feet are spheres (go2.xml:113,
+mini_cheetah.xml:78); mesh-vs-hfield/box and mesh self-collision pairs are not
+yet collided (documented residual).
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from gym_quadruped_tpu.models.model import (
     GEOM_CAPSULE,
     GEOM_CYLINDER,
     GEOM_HFIELD,
+    GEOM_MESH,
     GEOM_PLANE,
     GEOM_SPHERE,
     Model,
@@ -59,7 +62,13 @@ class PairSpec:
 def _combine_params(m: Model, g1: int, g2: int) -> tuple:
     """MuJoCo's contact parameter combination (priority / solmix / max rules)."""
     p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
-    margin = max(float(m.geom_margin[g1]), float(m.geom_margin[g2]))
+    # pair margin is the SUM of both geoms' margins, not the max — verified
+    # empirically (spheres with margins 1+3 mm first touch at 4 mm and report
+    # includemargin 0.004) and via the margin threshold inside disassembled
+    # mjc_PlaneConvex. Shipped robots have zero-margin floors, so world pairs
+    # are unaffected; self-collision pairs of margin-carrying robots (go2,
+    # go1, hyqreal1) activate at the summed shell.
+    margin = float(m.geom_margin[g1]) + float(m.geom_margin[g2])
     gap = max(float(m.geom_gap[g1]), float(m.geom_gap[g2]))
     if p1 != p2:
         g = g1 if p1 > p2 else g2
@@ -99,6 +108,7 @@ _HF_CONVEX_K = 8
 
 _NCON_TABLE = {
     # world (geom1) vs robot (geom2) — geom1 order follows the world geom
+    (GEOM_PLANE, GEOM_MESH): 3,
     (GEOM_PLANE, GEOM_SPHERE): 1,
     (GEOM_PLANE, GEOM_CAPSULE): 2,
     (GEOM_PLANE, GEOM_BOX): 4,
@@ -132,6 +142,9 @@ def _layout_cached(key) -> tuple:
         ncon = _NCON_TABLE.get((t1, t2))
         if ncon is None:
             continue  # unsupported pair (logged at build; none for shipped robots)
+        if t2 == GEOM_MESH and (m.geom_dataid.size == 0
+                                or int(m.geom_dataid[g2]) < 0):
+            continue  # mesh pair without hull data (older archives)
         condim, friction, solref, solimp, margin, gap = _combine_params(m, g1, g2)
         specs.append(PairSpec(int(g1), int(g2), ncon, condim, friction,
                               solref, solimp, margin, gap))
@@ -244,6 +257,50 @@ def _plane_cylinder(ppos, pmat, cpos, cmat, radius, halflen):
     ds.append(dc)
     ps.append(cpos - 0.5 * dc * n)
     return jnp.stack(ds), jnp.stack(ps), jnp.broadcast_to(n, (3, 3))
+
+
+def _plane_mesh(ppos, pmat, gpos, gmat, verts, nbr, nvert, rbound, margin):
+    """Plane vs convex mesh hull: MuJoCo's mjc_PlaneConvex, decoded from the
+    libmujoco 3.10 disassembly and verified to 1e-16 on 658 random tumbling
+    poses of hyqreal1 + mini_cheetah (scripts/probe_plane_mesh10.py):
+
+      con0 = support vertex along -n, pos shifted to half depth
+      extras = hull-graph NEIGHBORS of the support vertex, in adjacency-list
+               order, accepted iff their plane dist < margin AND their 3-D
+               distance to con0.pos (the SHIFTED point) >= 0.3 * rbound
+      cap: 3 contacts per pair
+
+    verts (Vmax, 3) hull vertices in the geom frame (pad rows arbitrary),
+    nbr (Vmax, D) adjacency table (-1 padded), nvert scalar, rbound/margin
+    scalars. Anchor: the reference reaches this collider through mj_step
+    (quadruped_env.py:271) for hyqreal1/mini_cheetah's mesh geoms.
+    """
+    dtype = ppos.dtype
+    n = pmat[:, 2]
+    big = jnp.asarray(1e9, dtype)
+    W = verts @ gmat.T + gpos[None]                      # (V, 3)
+    pad = jnp.arange(verts.shape[0]) >= nvert
+    d = jnp.where(pad, big, W @ n - jnp.dot(n, ppos))    # (V,)
+    i0 = jnp.argmin(d)
+    dist0 = d[i0]
+    pos0 = W[i0] - 0.5 * dist0 * n
+
+    cand = nbr[i0]                                       # (D,)
+    safe = jnp.maximum(cand, 0)
+    dc = d[safe]
+    Wc = W[safe]
+    far = jnp.linalg.norm(Wc - pos0[None], axis=1) >= 0.3 * rbound
+    valid = (cand >= 0) & (dc < margin) & far
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1       # order among valid
+    dists, poss = [dist0], [pos0]
+    for k in range(2):
+        sel = (valid & (rank == k)).astype(dtype)
+        got = jnp.sum(sel) > 0
+        dk = jnp.sum(sel * dc)
+        pk = jnp.sum(sel[:, None] * Wc, axis=0) - 0.5 * dk * n
+        dists.append(jnp.where(got, dk, big))
+        poss.append(jnp.where(got, pk, pos0))
+    return jnp.stack(dists), jnp.stack(poss), jnp.broadcast_to(n, (3, 3))
 
 
 def _box_sphere(bpos, bmat, size, center, radius):
@@ -1343,6 +1400,19 @@ def collide(m: Model, kin) -> Contacts:
         s1, s2 = size[g1], size[g2]
         marg = jnp.asarray(np.array([s.margin for s in specs[i:j]]), dtype)
 
+        if t1 == GEOM_PLANE and t2 == GEOM_MESH:
+            did = np.asarray(m.geom_dataid)[g2]
+            mverts = jnp.asarray(m.mesh_vert, dtype)[did]       # (G, Vmax, 3)
+            mnbr = jnp.asarray(m.mesh_nbr)[did]                 # (G, Vmax, D)
+            mnum = jnp.asarray(m.mesh_vertnum)[did]             # (G,)
+            mrb = jnp.asarray(m.geom_rbound, dtype)[g2]         # (G,)
+            d, p, nrm = jax.vmap(_plane_mesh)(p1, R1, p2, R2, mverts, mnbr,
+                                              mnum, mrb, marg)
+            feats.append(jnp.concatenate([
+                d.reshape(1, -1), p.reshape(-1, 3).T,
+                nrm.reshape(-1, 3).T], axis=0))
+            i = j
+            continue
         if t1 == GEOM_PLANE and t2 == GEOM_SPHERE:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _plane_sphere(
                 p1, R1, p2, s2[0])

@@ -232,3 +232,64 @@ def test_hfield_box_oracle():
     pos_errs = np.asarray(pos_errs)
     matched = pos_errs[np.isfinite(pos_errs)]
     assert np.median(matched) < 1e-5, f'med {np.median(matched):.2e}'
+
+
+def test_plane_mesh_oracle():
+    """Plane vs convex mesh hull: the decoded mjc_PlaneConvex manifold rule
+    (support vertex + graph-neighbor walk, 0.3*rbound dedup vs con0's shifted
+    pos, margin = SUM of geom margins, cap 3) must match MuJoCo exactly —
+    count, order, dist and pos — on random tumbling poses of the real robots.
+    Decode evidence: scripts/probe_plane_mesh10.py (658/658 poses at 1e-16)."""
+    import jax
+
+    from gym_quadruped_tpu.models.builder import build_mj_model, extract_model
+    from gym_quadruped_tpu.models.model import GEOM_MESH, GEOM_PLANE
+    from gym_quadruped_tpu.physics.collision import _plane_mesh
+
+    for robot in ('mini_cheetah', 'hyqreal1'):
+        mj, limits = build_mj_model(robot, 'flat')
+        model = extract_model(mj, robot, 'flat', limits)
+        d = mujoco.MjData(mj)
+        rng = np.random.RandomState(7)
+        fn = jax.jit(_plane_mesh)
+        n_pairs = 0
+        for trial in range(15):
+            mujoco.mj_resetDataKeyframe(mj, d, 0)
+            q = rng.uniform(-1, 1, 4)
+            q /= np.linalg.norm(q)
+            d.qpos[3:7] = q
+            d.qpos[2] = rng.uniform(0.05, 0.25)
+            d.qpos[7:] += rng.uniform(-0.5, 0.5, mj.nq - 7)
+            mujoco.mj_forward(mj, d)
+            from collections import defaultdict
+            obs = defaultdict(list)
+            for ci in range(d.ncon):
+                c = d.contact[ci]
+                if mj.geom_type[c.geom1] != GEOM_PLANE:
+                    continue
+                if mj.geom_type[c.geom2] != GEOM_MESH:
+                    continue
+                obs[int(c.geom2)].append((c.dist, c.pos.copy()))
+            mesh_pair_geoms = [int(g2) for g1, g2 in model.contact_pairs
+                               if mj.geom_type[g1] == GEOM_PLANE
+                               and mj.geom_type[g2] == GEOM_MESH]
+            for g in mesh_pair_geoms:
+                did = int(model.geom_dataid[g])
+                margin = float(mj.geom_margin[g] + mj.geom_margin[0])
+                dd, pp, _ = fn(
+                    jnp.zeros(3), jnp.eye(3),
+                    jnp.asarray(d.geom_xpos[g]),
+                    jnp.asarray(d.geom_xmat[g].reshape(3, 3)),
+                    jnp.asarray(model.mesh_vert[did]),
+                    jnp.asarray(model.mesh_nbr[did]),
+                    int(model.mesh_vertnum[did]),
+                    float(model.geom_rbound[g]), margin)
+                dd, pp = np.asarray(dd), np.asarray(pp)
+                ours = [(dd[k], pp[k]) for k in range(3) if dd[k] < margin]
+                ref = obs.get(g, [])
+                assert len(ours) == len(ref), (robot, trial, g, dd, ref)
+                for (do, po), (dr, pr) in zip(ours, ref):
+                    n_pairs += 1
+                    assert abs(do - dr) < 1e-10, (robot, trial, g, do, dr)
+                    assert np.max(np.abs(po - pr)) < 1e-10, (robot, trial, g)
+        assert n_pairs > 20, f'{robot}: too few oracle contacts ({n_pairs})'
