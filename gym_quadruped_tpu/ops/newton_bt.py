@@ -31,12 +31,18 @@ from gym_quadruped_tpu.models.model import Model
 from gym_quadruped_tpu.physics.constraints import ConstraintLayout, Efc
 
 INTERPRET = False
-# Round-2's C≥6 wall was NOT a Mosaic limitation: the kernel's VMEM working set
-# (cone Jacobians + constraint data + H scratch) exceeds the compiler's default
-# 16 MB scoped-vmem budget, and the remote compile helper hid the OOM
-# diagnostic. With vmem_limit_bytes raised (see _call) the production C=32
-# kernel compiles and runs on real v5e hardware (scripts/probe_bt_compile.py).
-ENABLE = True
+# Round-3 status — compiles, runs, PARKED for speed (measured, not assumed):
+# round-2's C≥6 wall was the compiler's default 16 MB scoped-vmem budget (not
+# Mosaic); with vmem_limit_bytes=100MB the production C=32 × it=10 kernel
+# compiles and runs on real v5e (scripts/probe_bt_compile.py, rel err ~1e-3 vs
+# the XLA solver on unconverged hard states, exact on converged ones). But it
+# executes at ~1.4 s/step at B=4096 — 25× SLOWER than the vmapped XLA solver
+# (~55 ms/step): Mosaic schedules the fully-unrolled scalar-tile Cholesky/
+# H-assembly/linesearch far from the VPU roofline, and 50-step scans (~70 s
+# per execution) trip the axon worker watchdog ("TPU worker crashed").
+# Evidence: scripts/probe_bt_perf.py, probe_bt_fault.py, /tmp/bt_bisect runs
+# logged in docs/PERF_NOTES.md round 3. Kept for study; do not enable.
+ENABLE = False
 # XLA fallback flavor when the Pallas kernel is off: 'vmap' (production) or
 # 'bt' (batch-trailing solve_batched — slower on v5e, kept for study)
 XLA_FALLBACK = 'vmap'

@@ -130,6 +130,8 @@ _NCON_TABLE = {
     (GEOM_CYLINDER, GEOM_CYLINDER): 1,
     (GEOM_CYLINDER, GEOM_BOX): 5,
     (GEOM_BOX, GEOM_BOX): 4,
+    (GEOM_SPHERE, GEOM_MESH): 1,
+    (GEOM_MESH, GEOM_MESH): 1,
 }
 
 
@@ -142,9 +144,12 @@ def _layout_cached(key) -> tuple:
         ncon = _NCON_TABLE.get((t1, t2))
         if ncon is None:
             continue  # unsupported pair (logged at build; none for shipped robots)
-        if t2 == GEOM_MESH and (m.geom_dataid.size == 0
-                                or int(m.geom_dataid[g2]) < 0):
-            continue  # mesh pair without hull data (older archives)
+        for g, t in ((g1, t1), (g2, t2)):
+            if t == GEOM_MESH and (m.geom_dataid.size == 0
+                                   or int(m.geom_dataid[g]) < 0):
+                ncon = None  # mesh pair without hull data (older archives)
+        if ncon is None:
+            continue
         condim, friction, solref, solimp, margin, gap = _combine_params(m, g1, g2)
         specs.append(PairSpec(int(g1), int(g2), ncon, condim, friction,
                               solref, solimp, margin, gap))
@@ -301,6 +306,74 @@ def _plane_mesh(ppos, pmat, gpos, gmat, verts, nbr, nvert, rbound, margin):
         dists.append(jnp.where(got, dk, big))
         poss.append(jnp.where(got, pk, pos0))
     return jnp.stack(dists), jnp.stack(poss), jnp.broadcast_to(n, (3, 3))
+
+
+def _top3_feature(W, vals, tol):
+    """Top-3 support verts of hull W (V, 3) by vals (V,); slots not within
+    tol of the max replicate the best vertex. Returns (3, 3)."""
+    out, best = [], jnp.max(vals)
+    v = vals
+    for _ in range(3):
+        i = jnp.argmax(v)
+        out.append((W[i], v[i]))
+        v = v - jnp.where(jnp.arange(v.shape[0]) == i, jnp.inf, 0.0)
+    pts = jnp.stack([p for p, _ in out])
+    ok = jnp.stack([val >= best - tol for _, val in out])
+    return jnp.where(ok[:, None], pts, pts[0][None])
+
+
+def _hull_hull_witness(W1, W2, n, tol=1e-5, rounds=8):
+    """Witness point for a hull-hull contact along unit direction n
+    (depth_fn = sup1(n) + sup2(-n)): alternating projections between the two
+    support features (top-3 verts each side — dense hulls make every contact
+    vertex-face / edge-edge scale), lifted midway between the support planes.
+    For vertex-face this lands exactly on EPA's witness (the vertex at half
+    depth); for face-face it lands inside the contact polygon (MuJoCo 3.10
+    emits a multi-point polygon manifold there — multiplicity not yet
+    reproduced, see docs/PERF_NOTES.md round 3)."""
+    f1 = _top3_feature(W1, W1 @ n, tol)
+    f2 = _top3_feature(W2, W2 @ (-n), tol)
+    s1 = jnp.max(W1 @ n)                  # geom1's support plane: n.x = s1
+    s2 = -jnp.max(W2 @ (-n))              # geom2's support plane: n.x = s2
+    w = f1[0]
+    for _ in range(rounds):
+        w = ccd.clip_onto_triangle(w, f1[0], f1[1], f1[2])
+        w = ccd.clip_onto_triangle(w, f2[0], f2[1], f2[2])
+    return w + (0.5 * (s1 + s2) - jnp.dot(w, n)) * n
+
+
+def _mesh_mesh(p1, R1, W1l, n1, p2, R2, W2l, n2):
+    """Convex hull vs convex hull, single contact (MuJoCo nativeccd GJK/EPA
+    path; depth + normal match mj at ~5e-5 med / 1e-6 cos on hyqreal1's
+    folded-leg poses — scripts/probe_mesh_self2.py). W*l: (Vmax, 3) hull verts
+    in the geom frame (pads are interior points, harmless under support)."""
+    W1 = W1l @ R1.T + p1[None]
+    W2 = W2l @ R2.T + p2[None]
+
+    def depth_fn(d):
+        return ccd.supval_verts(d, W1) + ccd.supval_verts(-d, W2)
+
+    d0s = jnp.stack([p2 - p1, jnp.mean(W2, 0) - jnp.mean(W1, 0)])
+    depth0, d0 = ccd.best_axis(depth_fn, d0s)
+    depth, n = ccd.pattern_refine(depth_fn, d0, depth0, rounds=20)
+    pos = _hull_hull_witness(W1, W2, n, tol=1e-5)
+    return -depth[None], pos[None], n[None]
+
+
+def _sphere_mesh(c, r, p2, R2, W2l, n2):
+    """Sphere vs convex hull, single contact. Sphere support along +n is
+    c + r*n; witness pos = midpoint of the two surface points."""
+    W2 = W2l @ R2.T + p2[None]
+
+    def depth_fn(d):
+        return jnp.sum(d * c, -1) + r + ccd.supval_verts(-d, W2)
+
+    d0s = jnp.stack([p2 - c, jnp.mean(W2, 0) - c])
+    depth0, d0 = ccd.best_axis(depth_fn, d0s)
+    depth, n = ccd.pattern_refine(depth_fn, d0, depth0, rounds=20)
+    dist = -depth
+    pos = c + (r + 0.5 * dist) * n
+    return dist[None], pos[None], n[None]
 
 
 def _box_sphere(bpos, bmat, size, center, radius):
@@ -1482,6 +1555,30 @@ def collide(m: Model, kin) -> Contacts:
         elif t1 == GEOM_CYLINDER and t2 == GEOM_BOX:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _cyl_box_ccd(
                 p1, R1, s1[0], s1[1], p2, R2, s2)
+        elif t1 == GEOM_SPHERE and t2 == GEOM_MESH:
+            did2 = np.asarray(m.geom_dataid)[g2]
+            W2l = jnp.asarray(m.mesh_vert, dtype)[did2]
+            n2 = jnp.asarray(m.mesh_vertnum)[did2]
+            d, p, n = jax.vmap(lambda p1, p2, R2, s1, W2, nv2: _sphere_mesh(
+                p1, s1[0], p2, R2, W2, nv2))(p1, p2, R2, s1, W2l, n2)
+            feats.append(jnp.concatenate([
+                d.reshape(1, -1), p.reshape(-1, 3).T, n.reshape(-1, 3).T],
+                axis=0))
+            i = j
+            continue
+        elif t1 == GEOM_MESH and t2 == GEOM_MESH:
+            did1 = np.asarray(m.geom_dataid)[g1]
+            did2 = np.asarray(m.geom_dataid)[g2]
+            W1l = jnp.asarray(m.mesh_vert, dtype)[did1]
+            W2l = jnp.asarray(m.mesh_vert, dtype)[did2]
+            n1 = jnp.asarray(m.mesh_vertnum)[did1]
+            n2 = jnp.asarray(m.mesh_vertnum)[did2]
+            d, p, n = jax.vmap(_mesh_mesh)(p1, R1, W1l, n1, p2, R2, W2l, n2)
+            feats.append(jnp.concatenate([
+                d.reshape(1, -1), p.reshape(-1, 3).T, n.reshape(-1, 3).T],
+                axis=0))
+            i = j
+            continue
         elif t1 == GEOM_BOX and t2 == GEOM_BOX:
             fn = None  # group-vectorized path below (pair axis minor)
         else:  # pragma: no cover - layout filters unsupported pairs
