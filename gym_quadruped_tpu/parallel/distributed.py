@@ -41,7 +41,10 @@ def initialize(coordinator_address: str | None = None,
     single-process run (no coordinator configured) is a no-op.
     """
     global _INITIALIZED
-    if _INITIALIZED or jax.process_count() > 1:
+    # do NOT probe jax.process_count() here: it initializes the XLA backend,
+    # after which jax.distributed.initialize refuses to run (found by the
+    # two-process evidence run, scripts/run_two_process.py)
+    if _INITIALIZED or jax.distributed.is_initialized():
         _INITIALIZED = True
         return
     coordinator_address = coordinator_address or os.environ.get(
@@ -61,12 +64,16 @@ def initialize(coordinator_address: str | None = None,
     _INITIALIZED = True
 
 
-def global_mesh(axis_names=('dcn', 'ici')) -> Mesh:
+def global_mesh(axis_names=('dcn', 'ici'),
+                max_devices: int | None = None) -> Mesh:
     """(hosts × per-host chips) mesh over ALL devices in the job. The dcn axis
     indexes processes (collectives over it ride the data-center network), the
-    ici axis the chips within a host/slice."""
+    ici axis the chips within a host/slice. `max_devices` caps the total device
+    count (driver dry-runs validate an n-device mesh on a larger host)."""
     n_proc = max(jax.process_count(), 1)
     devices = jax.devices()
+    if max_devices is not None:
+        devices = devices[:max_devices]
     per_host = len(devices) // n_proc
     # order devices so each mesh row is one process's local devices
     rows = []

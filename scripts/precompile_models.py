@@ -14,8 +14,11 @@ from gym_quadruped_tpu.models.builder import COMPILED_DIR, build_model
 CONFIGS = (
     [(r, 'flat') for r in ('mini_cheetah', 'go1', 'go2', 'aliengo', 'b2',
                            'hyqreal1', 'hyqreal2', 'spot')]
-    + [('go2', 'perlin'), ('go2', 'stairs'), ('mini_cheetah', 'perlin'),
-       ('aliengo', 'perlin'), ('hyqreal2', 'random_boxes')]
+    # every reference smoke-matrix robot (env_test.py:14) on perlin, plus spot
+    + [(r, 'perlin') for r in ('mini_cheetah', 'go1', 'go2', 'aliengo', 'b2',
+                               'hyqreal1', 'hyqreal2', 'spot')]
+    + [('go2', 'stairs'), ('go2', 'ramp'), ('go2', 'slippery'),
+       ('hyqreal2', 'random_boxes')]
 )
 
 

@@ -82,3 +82,50 @@ def test_vmap_batching(env):
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(bobs2['qvel'][0]),
                                np.asarray(obs0b['qvel']), rtol=0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------------
+# Broad robots × terrains smoke matrix (reference tests/env_test.py:14-15:
+# 7 robots × {flat, perlin} with ALL_OBS; we add spot). The two combos the
+# fast suite must always cover (spot/flat, hyqreal1/flat — precompiled
+# archives that round 2 never stepped) run unconditionally; the rest are
+# nightly (RUN_SLOW=1): each env costs minutes of x64-CPU compile.
+# ---------------------------------------------------------------------------------
+
+SMOKE_ROBOTS = ('b2', 'go1', 'go2', 'hyqreal1', 'hyqreal2', 'mini_cheetah',
+                'aliengo', 'spot')
+FAST_SMOKE = {('spot', 'flat'), ('hyqreal1', 'flat')}
+SMOKE_MATRIX = [(r, s) for r in SMOKE_ROBOTS for s in ('flat', 'perlin')]
+
+
+@pytest.mark.parametrize('robot,scene', SMOKE_MATRIX,
+                         ids=[f'{r}-{s}' for r, s in SMOKE_MATRIX])
+def test_smoke_matrix(robot, scene):
+    """Construct with ALL_OBS, reset (seeded + explicit-state), step 10 random
+    torques, check every observable's declared shape — the reference's smoke
+    matrix (env_test.py:17-53)."""
+    import os
+    if (robot, scene) not in FAST_SMOKE and not os.environ.get('RUN_SLOW'):
+        pytest.skip('full smoke matrix is nightly-only (RUN_SLOW=1)')
+    env = QuadrupedEnv(robot, state_obs_names=ALL_OBS, scene=scene,
+                       base_vel_command_type='forward+rotate',
+                       ref_base_lin_vel=(0.5, 1.0),
+                       ground_friction_coeff=(0.2, 1.5))
+    key = jax.random.PRNGKey(1)
+    state, obs = jax.jit(env.reset)(key)
+    # explicit-state reset variant (reference env_test.py:32)
+    state, obs = jax.jit(lambda k, qp, qv: env.reset(k, qpos=qp, qvel=qv))(
+        key, state.qpos, state.qvel)
+
+    dims = env.observation_space_dims()
+    assert set(obs.keys()) == set(ALL_OBS)
+    for name, v in obs.items():
+        assert v.shape == (dims[name],), f'{name}: {v.shape} != {dims[name]}'
+
+    step = jax.jit(env.step)
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        a = jnp.asarray(rng.uniform(-2, 2, env.model.nu))
+        state, obs, reward, term, trunc, info = step(state, a)
+    assert np.isfinite(np.asarray(state.qpos)).all()
+    assert np.isfinite(np.asarray(state.qvel)).all()

@@ -60,6 +60,9 @@ MATRIX = [
     ('hyqreal2', 'perlin', 'stance', None),
     ('aliengo', 'random_boxes', 'random', None),
     ('b2', 'random_boxes', 'random', None),
+    # static scenes (reference terrain.py:318-320 reachable via scene=)
+    ('go2', 'stairs', 'random', None),
+    ('go2', 'ramp', 'random', None),
 ]
 
 
