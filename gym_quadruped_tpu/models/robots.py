@@ -84,13 +84,19 @@ def available_robots() -> tuple[str, ...]:
 def find_assets_dir() -> Path | None:
     """Locate a directory containing the robot MJCF assets (robot_model layout).
 
-    Search order: $GYM_QUADRUPED_ASSETS, an installed `gym_quadruped` package,
-    a reference checkout at /root/reference (development convenience).
+    Search order: $GYM_QUADRUPED_ASSETS, vendored in-package assets
+    (gym_quadruped_tpu/assets/robot_model — populated by
+    scripts/vendor_assets.py before building a release wheel), an installed
+    `gym_quadruped` package, a reference checkout at /root/reference
+    (development convenience).
     Returns None when MJCF assets are unavailable (precompiled archives still work).
     """
     env = os.environ.get('GYM_QUADRUPED_ASSETS')
     if env and Path(env).exists():
         return Path(env)
+    vendored = Path(__file__).parent.parent / 'assets' / 'robot_model'
+    if vendored.exists():
+        return vendored
     try:
         import gym_quadruped  # type: ignore
 
