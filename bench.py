@@ -333,6 +333,10 @@ def main():
 
     # true-f32 matmul accumulation: the TPU bf16 MXU default breaks the solver
     jax.config.update('jax_default_matmul_precision', 'highest')
+    # persistent compile cache: the B=4096 step program costs minutes to
+    # compile over the axon tunnel; cache hits make reruns start in seconds
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     batch = int(os.environ.get('BENCH_BATCH', 4096))
     n_steps = int(os.environ.get('BENCH_STEPS', 50))
