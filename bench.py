@@ -164,7 +164,15 @@ def measure_env_sensors(batch: int, n_steps: int) -> float:
 
 def measure_mixed_camera(batch: int, n_chunks: int) -> float:
     """cfg5: mixed-robot batch; aliengo group renders a 16x16 depth image every
-    16th step (30 fps at dt=0.002)."""
+    16th step (30 fps at dt=0.002).
+
+    The camera is deliberately driven at the chunk cadence OUTSIDE env.step
+    rather than through the env's auto_render sensor path: under vmap XLA
+    executes BOTH lax.cond branches (sensors/rgbd_camera.py Camera.step
+    docstring), so the in-step fps gate would pay the full render every step
+    at B=4096. Chunked scan + one batched render per chunk is the
+    TPU-idiomatic cadence pattern; single-env/interactive use keeps the
+    in-step gated path."""
     import jax
     import jax.numpy as jnp
 

@@ -63,6 +63,7 @@ MATRIX = [
     # static scenes (reference terrain.py:318-320 reachable via scene=)
     ('go2', 'stairs', 'random', None),
     ('go2', 'ramp', 'random', None),
+    ('go2', 'slippery', 'stance', None),   # measured 3.8e-8 in-session
     ('go2', 'slippery', 'random',
      'tumbling onto the priority-2 low-friction boxes measured 4.4e-2 '
      '(in-session 2026-08-19): near-frictionless box-edge sliding amplifies '
