@@ -11,10 +11,11 @@ midpoint; `frame` rows are (normal, tangent1, tangent2) with MuJoCo's mju_makeNo
 tangent construction (pyramidal-cone parity requires the exact tangent basis).
 
 Supported pairs: {sphere, capsule} × {plane, box, hfield}, box×plane,
-cylinder×plane, and plane×mesh (convex hulls — hyqreal1/mini_cheetah collide
-through meshes in the reference). Feet are spheres (go2.xml:113,
-mini_cheetah.xml:78); mesh-vs-hfield/box and mesh self-collision pairs are not
-yet collided (documented residual).
+cylinder×plane, and mesh convex hulls vs {plane, hfield, sphere, mesh} —
+hyqreal1/mini_cheetah collide through meshes in the reference. Feet are
+spheres (go2.xml:113, mini_cheetah.xml:78); mesh-vs-box world pairs are not
+yet collided (no shipped robot/scene reaches one: box scenes pair with
+primitive-bodied robots).
 """
 
 from __future__ import annotations
@@ -119,6 +120,7 @@ _NCON_TABLE = {
     (GEOM_HFIELD, GEOM_CAPSULE): 16 + 5,
     (GEOM_HFIELD, GEOM_BOX): _HF_CONVEX_K + 4,
     (GEOM_HFIELD, GEOM_CYLINDER): _HF_CONVEX_K + 4,
+    (GEOM_HFIELD, GEOM_MESH): _HF_CONVEX_K + 4,
     # robot-robot (self-collision) pairs, stored with type1 ≤ type2
     (GEOM_SPHERE, GEOM_SPHERE): 1,
     (GEOM_SPHERE, GEOM_CAPSULE): 1,
@@ -1387,6 +1389,58 @@ def _hfield_cylinder(m: Model, hpos, hmat, cpos, cmat, radius, halflen,
     return _merge_local_samples(margin, dc, pc, nc_, d4, p4, n4)
 
 
+def hfield_span_rbound(m: Model, geom_ids) -> int:
+    """hfield_span for mesh geoms: their footprint radius is geom_rbound (the
+    hull's circumscribed radius), not |geom_size| (unset for meshes)."""
+    cell = 2.0 * float(np.min(np.asarray(m.hfield_size)[:2])) / \
+        (min(m.hfield_nrow, m.hfield_ncol) - 1)
+    rmax = float(np.max(np.asarray(m.geom_rbound)[np.asarray(geom_ids)]))
+    return min(int(np.ceil(2.0 * rmax / cell)) + 2, 8)
+
+
+def _hfield_mesh(m: Model, hpos, hmat, gpos, gmat, verts, nvert, rbound,
+                 margin, n_span):
+    """Convex mesh hull vs heightfield: HYBRID narrow phase — per-prism CCD
+    contacts plus the 4 deepest hull-vertex local samples, the same
+    decomposition as _hfield_box (and for the same reason: MuJoCo reaches
+    mesh geoms through the SAME mjc_ConvexHField pipeline as box/cylinder,
+    one contact per overlapped margin-raised prism, and emits locally-measured
+    satellite contacts during tilted grinding). The CCD part reuses
+    _hfield_convex_ccd with hull support callbacks; the witness volume clip
+    is a Frank-Wolfe projection into the hull (ccd.clip_into_hull). Anchor:
+    the reference reaches hfield-mesh contacts via mj_step
+    (quadruped_env.py:271) for mini_cheetah / hyqreal1 on procedural scenes.
+
+    verts (Vmax, 3) hull vertices in the geom frame; nvert scalar (pads
+    collapse to vertex 0 — zeros are NOT guaranteed interior for off-center
+    hulls); rbound the hull's circumscribed radius."""
+    dtype = gpos.dtype
+    pad = jnp.arange(verts.shape[0]) >= nvert
+    V = jnp.where(pad[:, None], verts[0], verts)
+    lp = hmat.T @ (gpos - hpos)
+    lR = hmat.T @ gmat
+
+    def hull_local(R):
+        return lp[None, :] + V @ R.T          # hull verts, hfield-local frame
+
+    dc, pc, nc_ = _hfield_convex_ccd(
+        m, hpos, hmat, gpos, gmat, margin,
+        lambda d, R: jnp.sum(d * lp, -1) + ccd.supval_verts(d @ R, V),
+        lambda d, R: lp + ccd.support_verts(d @ R, V) @ R.T,
+        lambda d, R: ccd.hull_face(d, hull_local(R)),
+        lambda pt, R, face, d: ccd.clip_onto_triangle(pt, face[0], face[1],
+                                                      face[2]),
+        lambda pt, R: ccd.clip_into_hull(pt, hull_local(R)),
+        rbound, n_span)
+    d, p, n = jax.vmap(
+        lambda c: _hfield_point_contact(m, c, 0.5 * margin, margin, dtype))(
+            hull_local(lR))
+    d = jnp.where(pad, 1e6, d)          # pad rows replicate vertex 0 — drop
+    d4, p4, n4 = _deepest_k(d, p, n, 4)
+    return _merge_local_samples(margin, dc, pc, nc_, d4,
+                                p4 @ hmat.T + hpos[None, :], n4 @ hmat.T)
+
+
 # ---------------------------------------------------------------------------------
 # contact frame (MuJoCo mju_makeFrame tangents)
 # ---------------------------------------------------------------------------------
@@ -1523,6 +1577,21 @@ def collide(m: Model, kin) -> Contacts:
             n_span = hfield_span(m, g2)
             fn = lambda p1, R1, p2, R2, s1, s2, mg, ns=n_span: \
                 _hfield_cylinder(m, p1, R1, p2, R2, s2[0], s2[1], mg, ns)
+        elif t1 == GEOM_HFIELD and t2 == GEOM_MESH:
+            n_span = hfield_span_rbound(m, g2)
+            did = np.asarray(m.geom_dataid)[g2]
+            mverts = jnp.asarray(m.mesh_vert, dtype)[did]       # (G, Vmax, 3)
+            mnum = jnp.asarray(m.mesh_vertnum)[did]             # (G,)
+            mrb = jnp.asarray(m.geom_rbound, dtype)[g2]         # (G,)
+            d, p, nrm = jax.vmap(
+                lambda p1, R1, p2, R2, vts, nv, rb, mg, ns=n_span:
+                _hfield_mesh(m, p1, R1, p2, R2, vts, nv, rb, mg, ns))(
+                    p1, R1, p2, R2, mverts, mnum, mrb, marg)
+            feats.append(jnp.concatenate([
+                d.reshape(1, -1), p.reshape(-1, 3).T,
+                nrm.reshape(-1, 3).T], axis=0))
+            i = j
+            continue
         # ---- robot-robot (self-collision) pairs, type1 ≤ type2 ----
         elif t1 == GEOM_SPHERE and t2 == GEOM_SPHERE:
             fn = lambda p1, R1, p2, R2, s1, s2, mg: _sphere_sphere(
