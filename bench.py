@@ -12,22 +12,36 @@ Configs (BASELINE.md):
          rgbd_camera.py:32-33)
   mpc  — centroidal MPC solves/s, H=12, B=4096 (cold; worst case)
   mpc_warm — closed-loop replan rate, each solve warm-started (steady state)
+  cpu  — the reference's own stack measured in-process (single-env CPU MuJoCo
+         mj_step on the same compiled model — the reference has no batching
+         and publishes no numbers, BASELINE.md)
 
-Prints ONE JSON line: the headline metric plus a `configs` dict with every
-other number. `vs_baseline` compares against the reference's own stack measured
-in-process (single-env CPU MuJoCo mj_step on the same compiled model — the
-reference has no batching and publishes no numbers, BASELINE.md).
+Timeout-proof output contract (round-3 lost its whole artifact to a driver
+timeout because everything printed at the very end): the orchestrator prints a
+FULL cumulative summary JSON line after EVERY config completes, headline
+first. Whoever parses the *last* JSON line always gets every number measured
+so far, even if the process is killed mid-run. Each config runs in its own
+subprocess so a hang or TPU-worker crash in one config cannot poison or stall
+the rest (observed in r2/r3: a hung jax.devices() and a crashed worker each
+cost an entire artifact).
 
-Timing hygiene (docs/PERF_NOTES.md): distinct chained executions, host readback
-of a reduction per run, median of repeats — the axon runtime memoizes identical
-calls and block_until_ready can resolve early.
+Wall-clock budget: BENCH_BUDGET seconds total (default 3000, safely under the
+driver's timeout). Configs that don't fit are reported as "skipped: budget"
+instead of dying.
 
-Run: python bench.py       Overrides: BENCH_BATCH, BENCH_STEPS, BENCH_ONLY
-(comma list of {headline,cfg1,cfg2,cfg3,cfg4,cfg5,mpc}).
+Timing hygiene (docs/PERF_NOTES.md): distinct chained executions, host
+readback of a reduction per run, median of repeats — the axon runtime memoizes
+identical calls and block_until_ready can resolve early.
+
+Run: python bench.py
+Overrides: BENCH_BATCH, BENCH_STEPS, BENCH_BUDGET, BENCH_SOLVER_ITERS,
+BENCH_ONLY (comma list of {headline,cfg1..cfg5,mpc,mpc_warm,cpu}).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -164,18 +178,14 @@ def measure_env_sensors(batch: int, n_steps: int) -> float:
 
 def measure_mixed_camera(batch: int, n_chunks: int) -> float:
     """cfg5: mixed-robot batch; aliengo group renders a 16x16 depth image every
-    16th step (30 fps at dt=0.002).
-
-    The camera is deliberately driven at the chunk cadence OUTSIDE env.step
-    rather than through the env's auto_render sensor path: under vmap XLA
-    executes BOTH lax.cond branches (sensors/rgbd_camera.py Camera.step
-    docstring), so the in-step fps gate would pay the full render every step
-    at B=4096. Chunked scan + one batched render per chunk is the
-    TPU-idiomatic cadence pattern; single-env/interactive use keeps the
-    in-step gated path."""
+    16th step (30 fps at dt=0.002), via the supported chunked-cadence batch
+    helper (env/batch.py rollout_with_sensors — under vmap XLA executes BOTH
+    lax.cond branches, so the in-step fps gate would pay the full render every
+    step at B=4096; the chunked scan is the TPU-idiomatic cadence pattern)."""
     import jax
     import jax.numpy as jnp
 
+    from gym_quadruped_tpu.env.batch import rollout_with_sensors
     from gym_quadruped_tpu.env.mixed import MixedQuadrupedEnv
     from gym_quadruped_tpu.sensors.rgbd_camera import Camera
 
@@ -191,25 +201,17 @@ def measure_mixed_camera(batch: int, n_chunks: int) -> float:
     state0, _ = jax.jit(env.reset)(keys)
     steps_per_chunk = 16
 
-    @jax.jit
-    def run(state, act_seq):
-        # act_seq: (n_chunks, steps_per_chunk, B, nu)
-        def chunk(s, acts):
-            def body(s2, a):
-                s3, *_ = env.step(s2, a)
-                return s3, None
+    def render(s):
+        depth = jax.vmap(lambda qp: cam.shoot(qp)[0])(s[1].qpos)
+        return jnp.sum(depth)
 
-            s, _ = jax.lax.scan(body, s, acts)
-            depth = jax.vmap(lambda qp: cam.shoot(qp)[0])(s[1].qpos)
-            return s, jnp.sum(depth)
-
-        s, d = jax.lax.scan(chunk, state, act_seq)
-        return s, d
+    run = jax.jit(lambda state, act_seq: rollout_with_sensors(
+        env.step, state, act_seq, render, steps_per_chunk=steps_per_chunk))
 
     def make_inputs(r, carry=None):
         acts = jax.random.uniform(
             jax.random.PRNGKey(r),
-            (n_chunks, steps_per_chunk, batch, nu), jnp.float32, -2, 2)
+            (n_chunks * steps_per_chunk, batch, nu), jnp.float32, -2, 2)
         jax.block_until_ready(acts)
         return (carry[0] if carry is not None else state0), acts
 
@@ -301,149 +303,170 @@ def measure_mpc_warm(batch: int) -> float:
     return _median_rate(solve, make_inputs, batch, reps=3)
 
 
-def _wait_for_backend(total_budget=3000, attempt_timeout=120):
+def _wait_for_backend(total_budget=600, attempt_timeout=120):
     """jax.devices() HANGS (not errors) when the axon tunnel is down. Probe the
     backend in SUBPROCESSES (a hung in-process call cannot be cancelled) and
-    keep retrying for the full budget — round 2 lost its entire bench artifact
-    to a transient tunnel outage and a single 600-s bail (BENCH_r02.json).
-    Emits a one-line JSON error and exits only after the whole budget is spent."""
-    import subprocess
-    import sys
-
+    keep retrying for the budget — round 2 lost its entire bench artifact to a
+    transient tunnel outage. Returns True when up, False when the budget is
+    spent."""
     deadline = time.monotonic() + total_budget
-    attempt = 0
     while True:
-        attempt += 1
         try:
             r = subprocess.run(
                 [sys.executable, '-c',
                  'import jax; jax.devices(); print("up")'],
                 timeout=attempt_timeout, capture_output=True, text=True)
             if r.returncode == 0 and 'up' in r.stdout:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.monotonic() >= deadline:
-            print(json.dumps({'metric': 'env_steps_per_s_go2_flat',
-                              'value': None, 'unit': 'steps/s',
-                              'error': f'backend unreachable after '
-                                       f'{total_budget}s / {attempt} attempts '
-                                       '(axon tunnel down?)'}), flush=True)
-            os._exit(2)
-        time.sleep(30)
+            return False
+        time.sleep(20)
 
 
-def main():
+def _configure_jax():
     import jax
-
-    _wait_for_backend()
-    jax.devices()          # backend verified reachable just above
 
     # true-f32 matmul accumulation: the TPU bf16 MXU default breaks the solver
     jax.config.update('jax_default_matmul_precision', 'highest')
     # persistent compile cache: the B=4096 step program costs minutes to
     # compile over the axon tunnel; cache hits make reruns start in seconds
-    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+    jax.config.update('jax_compilation_cache_dir',
+                      '/root/.cache/jax_comp_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
+# (short key, result name template, measurement thunk factory, time cap s).
+# Ordered by importance: whatever the budget cuts, the headline and the
+# north-star MPC gate land first.
+def _config_table(batch, n_steps):
+    return [
+        ('headline', f'go2_flat_b{batch}',
+         lambda: measure_engine('go2', 'flat', batch, n_steps), 1500),
+        ('cpu', 'cpu_mujoco_single_env',
+         lambda: measure_mujoco_cpu('go2', 'flat'), 300),
+        ('mpc_warm', f'mpc_warm_solves_per_s_H12_b{batch}',
+         lambda: measure_mpc_warm(batch), 600),
+        ('mpc', f'mpc_solves_per_s_H12_b{batch}',
+         lambda: measure_mpc(batch), 600),
+        ('cfg2', f'go2_perlin_b{batch}',
+         lambda: measure_engine('go2', 'perlin', batch, n_steps), 900),
+        ('cfg3', f'aliengo_flat_heightmap_imu_b{batch // 2}',
+         lambda: measure_env_sensors(batch // 2, max(n_steps // 2, 10)), 900),
+        ('cfg4', f'hyqreal2_random_boxes_b{batch}',
+         lambda: measure_engine('hyqreal2', 'random_boxes', batch, n_steps),
+         900),
+        ('cfg5', f'mixed_camera_b{batch}',
+         lambda: measure_mixed_camera(batch, 3), 900),
+        ('cfg1', 'mini_cheetah_flat_single_env',
+         lambda: measure_engine('mini_cheetah', 'flat', 1, 2000, reps=3), 600),
+    ]
+
+
+def _child_main(short):
+    """Measure ONE config in this process; print {"config", "value"}."""
+    _configure_jax()
+    batch = int(os.environ.get('BENCH_BATCH', 4096))
+    n_steps = int(os.environ.get('BENCH_STEPS', 50))
+    for key, name, thunk, _cap in _config_table(batch, n_steps):
+        if key == short:
+            value = thunk()
+            print(json.dumps({'config': name, 'value': round(value, 1)}),
+                  flush=True)
+            return
+    raise SystemExit(f'unknown config {short!r}')
+
+
+def _emit_summary(batch, headline, cpu_rate, configs, done=False):
+    """Print one FULL cumulative summary line (the timeout-proof contract)."""
+    out = {
+        'metric': f'env_steps_per_s_go2_flat_b{batch}',
+        'value': headline,
+        'unit': 'steps/s',
+        'vs_baseline': (round(headline / cpu_rate, 2)
+                        if headline is not None and cpu_rate else None),
+        'configs': dict(configs),
+        'cpu_mujoco_single_env': cpu_rate,
+    }
+    if done:
+        out['complete'] = True
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    child = os.environ.get('BENCH_CHILD')
+    if child:
+        _child_main(child)
+        return
 
     batch = int(os.environ.get('BENCH_BATCH', 4096))
     n_steps = int(os.environ.get('BENCH_STEPS', 50))
+    budget = float(os.environ.get('BENCH_BUDGET', 3000))
     only = os.environ.get('BENCH_ONLY')
     only = set(only.split(',')) if only else None
+    t_start = time.monotonic()
 
-    def want(name):
-        return only is None or name in only
+    if not _wait_for_backend(total_budget=min(600, budget * 0.3)):
+        print(json.dumps({'metric': f'env_steps_per_s_go2_flat_b{batch}',
+                          'value': None, 'unit': 'steps/s',
+                          'error': 'backend unreachable (axon tunnel down?)'}),
+              flush=True)
+        raise SystemExit(2)
 
     configs = {}
+    headline = None
+    cpu_rate = None
+    table = [row for row in _config_table(batch, n_steps)
+             if only is None or row[0] in only]
 
-    def retry_in_subprocess(short, name):
-        """Re-measure ONE config in a fresh process. After a TPU worker crash
-        the in-process client's connection is dead and every later execution
-        in this process errors UNAVAILABLE (observed: one go2_perlin crash
-        poisoned five healthy configs). A fresh process re-attaches cleanly."""
-        import subprocess
-        import sys
-
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=dict(os.environ, BENCH_ONLY=short,
-                                    BENCH_NO_RETRY='1'),
-                           capture_output=True, text=True, timeout=3600)
+    def run_child(key, cap):
+        """One config in a fresh subprocess: immune to in-process hangs and
+        to TPU-client poisoning after a worker crash (r3 lesson). Returns
+        (value, error_string)."""
+        remaining = budget - (time.monotonic() - t_start)
+        timeout = max(min(cap, remaining), 60)
+        env = dict(os.environ, BENCH_CHILD=key)
+        env.pop('BENCH_ONLY', None)
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            return None, f'ERROR: timeout after {int(timeout)}s'
         for line in reversed(r.stdout.strip().splitlines()):
             try:
                 d = json.loads(line)
             except ValueError:
                 continue
-            v = d.get('configs', {}).get(name)
-            if isinstance(v, (int, float)):
-                return float(v)
-            if short == 'headline' and d.get('value') is not None:
-                return float(d['value'])
-        raise RuntimeError(f'subprocess retry rc={r.returncode}: '
-                           f'{r.stdout[-200:]!r} {r.stderr[-200:]!r}')
+            if isinstance(d.get('value'), (int, float)):
+                return float(d['value']), None
+        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+        return None, f'ERROR: rc={r.returncode}: {" | ".join(tail)[-300:]}'
 
-    CRASH_MARKERS = ('UNAVAILABLE', 'crashed or restarted', 'DEADLINE',
-                     'socket closed', 'Connection reset')
+    for key, name, _thunk, cap in table:
+        elapsed = time.monotonic() - t_start
+        if elapsed > budget:
+            configs[name] = 'skipped: budget'
+            _emit_summary(batch, headline, cpu_rate, configs)
+            continue
+        value, err = run_child(key, cap)
+        if value is None and err and ('timeout' not in err):
+            # one retry after a crash — fresh process re-attaches cleanly
+            if _wait_for_backend(total_budget=120) and \
+                    time.monotonic() - t_start < budget:
+                value, err = run_child(key, cap)
+        if value is not None:
+            configs[name] = value
+            if key == 'headline':
+                headline = value
+            elif key == 'cpu':
+                cpu_rate = value
+        else:
+            configs[name] = err
+        _emit_summary(batch, headline, cpu_rate, configs)
 
-    def record(short, name, fn):
-        if not want(short):
-            return
-        try:
-            value = fn()
-            configs[name] = round(value, 1)
-        except Exception as e:  # noqa: BLE001 — one config must not kill the run
-            if (any(m in str(e) for m in CRASH_MARKERS)
-                    and not os.environ.get('BENCH_NO_RETRY')):
-                try:
-                    _wait_for_backend(total_budget=900)
-                    configs[name] = round(retry_in_subprocess(short, name), 1)
-                    return
-                except Exception as e2:  # noqa: BLE001
-                    e = e2
-            configs[name] = f'ERROR: {type(e).__name__}: {e}'
-
-    headline = None
-    if want('headline'):
-        try:
-            headline = measure_engine('go2', 'flat', batch, n_steps)
-        except Exception as e:  # noqa: BLE001
-            if (any(m in str(e) for m in CRASH_MARKERS)
-                    and not os.environ.get('BENCH_NO_RETRY')):
-                _wait_for_backend(total_budget=900)
-                headline = retry_in_subprocess('headline',
-                                               f'go2_flat_b{batch}')
-            else:
-                raise
-    record('cfg1', 'mini_cheetah_flat_single_env',
-           lambda: measure_engine('mini_cheetah', 'flat', 1, 2000, reps=3))
-    record('cfg2', f'go2_perlin_b{batch}',
-           lambda: measure_engine('go2', 'perlin', batch, n_steps))
-    record('cfg3', f'aliengo_flat_heightmap_imu_b{batch // 2}',
-           lambda: measure_env_sensors(batch // 2, max(n_steps // 2, 10)))
-    record('cfg4', f'hyqreal2_random_boxes_b{batch}',
-           lambda: measure_engine('hyqreal2', 'random_boxes', batch, n_steps))
-    record('cfg5', f'mixed_camera_b{batch}',
-           lambda: measure_mixed_camera(batch, 3))
-    record('mpc', f'mpc_solves_per_s_H12_b{batch}', lambda: measure_mpc(batch))
-    record('mpc_warm', f'mpc_warm_solves_per_s_H12_b{batch}',
-           lambda: measure_mpc_warm(batch))
-
-    try:
-        cpu_rate = measure_mujoco_cpu('go2', 'flat')
-    except Exception:
-        cpu_rate = float('nan')
-
-    out = {
-        'metric': f'env_steps_per_s_go2_flat_b{batch}',
-        'value': round(headline, 1) if headline is not None else None,
-        'unit': 'steps/s',
-        'vs_baseline': (round(headline / cpu_rate, 2)
-                        if headline is not None and np.isfinite(cpu_rate)
-                        else None),
-        'configs': configs,
-        'cpu_mujoco_single_env': (round(cpu_rate, 1)
-                                  if np.isfinite(cpu_rate) else None),
-    }
-    print(json.dumps(out))
+    _emit_summary(batch, headline, cpu_rate, configs, done=True)
 
 
 if __name__ == '__main__':

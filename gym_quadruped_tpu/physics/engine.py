@@ -168,14 +168,19 @@ def step(m: Model, qpos, qvel, ctrl, qfrc_applied=None, warmstart=None,
 def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
                  warmstart=None, solver_iterations: int = DEFAULT_SOLVER_ITERS, con_mu=None,
                  max_contacts: int = MAX_CONE_CONTACTS):
-    """Batch-level mj_step: identical math to vmap(step) but the Newton
-    constraint solve runs as ONE fused Pallas kernel per batch chunk
-    (ops/newton_solve.py) — the whole iteration loop stays in VMEM instead of
-    relaunching hundreds of small XLA kernels. Falls back to the XLA solver off
-    TPU. Inputs/outputs carry a leading batch axis."""
+    """Batch-level mj_step: identical math to vmap(step), structured so the
+    pre-solve fan-out and the Newton constraint solve are separately vmapped
+    stages (XLA fuses them; keeping the split lets profiling attribute time).
+
+    The Newton solve is deliberately the VMAPPED XLA SOLVER, not a fused
+    Pallas kernel: two full fused-solver generations were built, verified,
+    and measured 25× SLOWER than XLA on real v5e (retirement note in
+    docs/PERF_NOTES.md round 4; research artifacts in scripts/experimental/).
+    The production Pallas surface is the lane-batched tiny-SPD solve inside
+    the solver (ops/spd_solve.py). Inputs/outputs carry a leading batch axis."""
     import jax
 
-    from gym_quadruped_tpu.ops import newton_bt
+    from gym_quadruped_tpu.physics import solver as _solver
 
     if qfrc_applied is None:
         pre = jax.vmap(lambda a, b, c: _pre_solve(
@@ -187,9 +192,17 @@ def step_batched(m: Model, qpos, qvel, ctrl, qfrc_applied=None,
      efc) = pre
 
     lay = constraint_layout(m)
-    qacc, f_simple, f_cone, qfrc_constraint = newton_bt.solve_batched_bt(
-        m, lay, M, qacc_smooth, efc, warmstart=warmstart,
-        iterations=solver_iterations)
+    if warmstart is None:
+        qacc, f_simple, f_cone, qfrc_constraint = jax.vmap(
+            lambda Mi, ai, ei: _solver.solve(
+                m, lay, Mi, ai, ei, iterations=solver_iterations))(
+                    M, qacc_smooth, efc)
+    else:
+        qacc, f_simple, f_cone, qfrc_constraint = jax.vmap(
+            lambda Mi, ai, ei, wi: _solver.solve(
+                m, lay, Mi, ai, ei, warmstart=wi,
+                iterations=solver_iterations))(
+                    M, qacc_smooth, efc, warmstart)
     C_all = len(lay.cone_slots)
     if f_cone.shape[1] < C_all:
         f_cone = jax.vmap(

@@ -43,7 +43,8 @@ def _safe_norm(x, eps=1e-30):
 # Layout-derived constant arrays (simple_unilateral, cone_dim_mask, linesearch
 # grid) are normally embedded as jnp constants; a Pallas kernel wrapping solve()
 # must pass them as kernel inputs instead (captured array constants are illegal
-# there), so it injects them here around its trace (ops/newton_solve.py).
+# there), so it injects them here around its trace. Used by the retired fused
+# kernels kept for study in scripts/experimental/ (docs/PERF_NOTES.md round 4).
 CONST_OVERRIDE: dict = {}
 
 # When True every matrix product lowers as broadcast-multiply + reduction

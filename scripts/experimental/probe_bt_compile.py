@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
 def main():
@@ -29,7 +29,7 @@ def main():
     jax.config.update('jax_default_matmul_precision', 'highest')
 
     from gym_quadruped_tpu.models.builder import load_model
-    from gym_quadruped_tpu.ops import newton_bt
+    import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).parent)); import newton_bt
     from gym_quadruped_tpu.physics import engine
     from gym_quadruped_tpu.physics.constraints import constraint_layout
 

@@ -11,7 +11,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
 def main():
@@ -22,7 +22,7 @@ def main():
     jax.config.update('jax_default_matmul_precision', 'highest')
 
     from gym_quadruped_tpu.models.builder import load_model
-    from gym_quadruped_tpu.ops import newton_bt
+    import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).parent)); import newton_bt
     from gym_quadruped_tpu.physics import engine
 
     newton_bt.ENABLE = True

@@ -14,7 +14,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
 def main():
@@ -27,7 +27,7 @@ def main():
     jax.config.update('jax_default_matmul_precision', 'highest')
 
     from gym_quadruped_tpu.models.builder import load_model
-    from gym_quadruped_tpu.ops import newton_bt
+    import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).parent)); import newton_bt
     from gym_quadruped_tpu.physics import engine
 
     model = load_model('go2', 'flat')

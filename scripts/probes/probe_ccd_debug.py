@@ -4,7 +4,7 @@ internals). Usage: python scripts/probe_ccd_debug.py <case_index>"""
 import sys
 import os
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(_ROOT, 'tests'))
 sys.path.insert(0, _ROOT)
 import conftest  # noqa: F401

@@ -8,7 +8,7 @@ compiles in seconds (no engine step involved).
 import sys
 import os
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(_ROOT, 'tests'))
 sys.path.insert(0, _ROOT)
 import conftest  # noqa: F401

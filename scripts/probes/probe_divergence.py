@@ -12,7 +12,7 @@ Usage: python scripts/probe_divergence.py robot scene [steps] [amp]
 import os
 import sys
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(_ROOT, 'tests'))
 sys.path.insert(0, _ROOT)
 import conftest  # noqa: F401  (forces CPU backend + x64 + compile cache)

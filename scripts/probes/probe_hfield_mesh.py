@@ -6,7 +6,7 @@ probe_hfield_validate.py (one contact per touched prism, multiccd not applied).
 import sys
 import os
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(_ROOT, 'tests'))
 sys.path.insert(0, _ROOT)
 import conftest  # noqa: F401

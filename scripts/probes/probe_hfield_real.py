@@ -5,7 +5,7 @@ REAL terrain and poses. Usage: probe_hfield_real.py [t_step] [geom_id]"""
 import sys
 import os
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(_ROOT, 'tests'))
 sys.path.insert(0, _ROOT)
 import conftest  # noqa: F401

@@ -14,7 +14,7 @@ All pure-C MuJoCo, runs in seconds. No JAX.
 import sys
 import os
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, _ROOT)
 
 import mujoco

@@ -11,7 +11,7 @@ from collections import defaultdict
 import mujoco
 import numpy as np
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, _ROOT)
 
 from gym_quadruped_tpu.models.builder import build_mj_model  # noqa: E402

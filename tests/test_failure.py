@@ -72,3 +72,42 @@ def test_checkpoint_shape_mismatch(tmp_path, batch_state):
     wrong = dataclasses.replace(batch_state, qpos=batch_state.qpos[:1])
     with pytest.raises(KeyError):
         checkpoint.restore(p, wrong)
+
+
+def test_rollout_with_sensors_cadence(env, batch_state):
+    """Chunked sensor cadence (env/batch.py rollout_with_sensors): the sensor
+    fires once per chunk and the carried dynamics match a plain step loop."""
+    from gym_quadruped_tpu.env.batch import rollout_with_sensors
+
+    B, nu = 2, env.model.nu
+    T, chunk = 6, 3
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (T, B, nu),
+                              batch_state.qpos.dtype, -1, 1)
+    fired = []
+
+    def sensor(s):
+        return jnp.sum(s.qpos, axis=-1)  # stand-in for a camera readout
+
+    step = jax.vmap(env.step)
+    final, seq = jax.jit(lambda s, a: rollout_with_sensors(
+        step, s, a, sensor, steps_per_chunk=chunk))(batch_state, acts)
+    assert seq.shape == (T // chunk, B)
+
+    # parity with a plain loop + manual sensor at chunk boundaries
+    s = batch_state
+    expect = []
+    for t in range(T):
+        s, *_ = jax.jit(step)(s, acts[t])
+        if (t + 1) % chunk == 0:
+            expect.append(np.asarray(sensor(s)))
+    np.testing.assert_allclose(np.asarray(seq), np.stack(expect), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(final.qpos), np.asarray(s.qpos),
+                               rtol=1e-12)
+
+
+def test_rollout_with_sensors_rejects_ragged():
+    from gym_quadruped_tpu.env.batch import rollout_with_sensors
+
+    with pytest.raises(ValueError):
+        rollout_with_sensors(lambda s, a: (s,), jnp.zeros(3),
+                             jnp.zeros((5, 1)), lambda s: s, steps_per_chunk=2)
