@@ -110,6 +110,21 @@ def reproduce(path):
         reps = configure_observation_space_representations('go2', list(OBS))
         print('symmetry reps:', {k: getattr(v, 'name', v) for k, v in
                                  reps.items()})
+
+        # data augmentation (reference dataset_reproduction.py:26-58): map
+        # every recorded observable through each group element; the
+        # augmented copies are extra training samples (and the ghost-replay
+        # poses come from the augmented qpos)
+        from gym_quadruped_tpu.utils.symmetry import augment_obs_data
+
+        reader = H5Reader(path)
+        obs_data = {name: np.asarray(reader.recordings[name][0])
+                    for name in OBS}
+        G_obs = augment_obs_data(obs_data, reps)
+        n_aug = sum(1 for g, v in G_obs[list(OBS)[0]].items()
+                    if v is not None)
+        print(f'augmented dataset: {n_aug} symmetric copies per trajectory '
+              f'({", ".join(OBS)})')
     except ImportError:
         print('morpho_symm not installed — skipping symmetry augmentation')
 

@@ -84,6 +84,18 @@ def compose_scene_xml(robot: str, scene: str = 'flat', seed: int = 10,
         # hfield data is assigned post-compile; declare an empty asset here.
         tree, limits = _scenes.generate_scene('flat', cfg.hip_height, seed)
         tree, limits = _attach_hfield_asset(tree, cfg.hip_height)
+    elif scene not in _scenes.STATIC_SCENES + _scenes.PROCEDURAL_SCENES:
+        # per-robot extra scenes shipped under robot_model/<robot>/scene_*.xml
+        # (aliengo rough/stairs, mini_cheetah slope/suspend_stairs, hyqreal1
+        # rough) — unreachable in the reference (quadruped_env.py:153 only
+        # resolves robot_model/scene_<name>.xml), reachable here by name
+        robot_scene = robot_xml.parent / f'scene_{scene}.xml'
+        if not robot_scene.exists():
+            raise ValueError(
+                f'Invalid scene {scene!r} for {robot}: not a built-in scene '
+                f'({_scenes.STATIC_SCENES + _scenes.PROCEDURAL_SCENES}) and '
+                f'{robot_scene} does not exist')
+        tree, limits = _scenes.make_from_reference_xml(robot_scene)
     else:
         tree, limits = _scenes.generate_scene(scene, cfg.hip_height, seed)
 

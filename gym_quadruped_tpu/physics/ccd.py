@@ -492,28 +492,40 @@ def snap_polish(depth_fn, depth, d, axes, thresh=0.02):
 # multiccd manifold assembly
 # ---------------------------------------------------------------------------------
 
-def manifold_from_perturbed(depth0, n0, depth_p, pos_p, n_p, extra_dist=0.0):
+def manifold_from_perturbed(depth0, n0, depth_p, pos_p, n_p, extra_dist=0.0,
+                            margin=0.0, pos0=None):
     """Assemble the 5-slot multiccd manifold from the 4 perturbed re-solves.
 
     depth0 (...,) / n0 (..., 3): unperturbed penetration depth (>0 =
     penetrating) and direction.
     depth_p (..., 4): perturbed penetration depths (contact k exists only if
     its perturbed config still penetrates — MuJoCo's perturbed GJK finds
-    nothing otherwise, observed in the probes).
+    nothing otherwise, observed in the probes). With `margin` > 0 the
+    existence test is depth > -margin: mj emits manifolds for separations
+    inside the margin shell (hyqreal1 meshes carry margin=1e-3; observed
+    positive-dist manifolds in probe_mesh_manifold4.py).
     pos_p (..., 4, 3) / n_p (..., 4, 3): perturbed witness midpoints/normals.
 
-    Contact 0 = mean of the valid perturbed witnesses (EPA-interior-witness
-    approximation), normal = n0. All 5 share dist = -depth0 + extra_dist.
-    Dedup: contact k dropped if within _DEDUP of any earlier kept contact
-    (pairwise-greedy, matches mj observations). Returns
-    (dist (..., 5), pos (..., 5, 3), n (..., 5, 3)); dropped slots dist=+1e6.
+    Contact 0: by default the mean of the valid perturbed witnesses
+    (EPA-interior-witness approximation, validated for cyl-box); pass `pos0`
+    to use an explicit EPA-witness estimate instead — for hull-hull the POCS
+    witness lands ON the deepest vertex for vertex-type contacts, so it
+    dedups against that vertex's perturbed contact exactly like MuJoCo's
+    does (probe_mesh_manifold3/4.py). Normal = n0. All 5 share
+    dist = -depth0 + extra_dist. Dedup: contact k dropped if within _DEDUP
+    of any earlier kept contact (pairwise-greedy, matches mj observations).
+    Returns (dist (..., 5), pos (..., 5, 3), n (..., 5, 3)); dropped slots
+    dist=+1e6.
     """
     dtype = pos_p.dtype
-    valid = depth_p > 0.0                                      # (..., 4)
-    wsum = jnp.maximum(jnp.sum(valid.astype(dtype), -1), 1.0)
-    pos0 = jnp.sum(jnp.where(valid[..., None], pos_p, 0.0), -2) / \
-        wsum[..., None]
-    any_valid = jnp.any(valid, -1)
+    valid = depth_p > -margin                                  # (..., 4)
+    if pos0 is None:
+        wsum = jnp.maximum(jnp.sum(valid.astype(dtype), -1), 1.0)
+        pos0 = jnp.sum(jnp.where(valid[..., None], pos_p, 0.0), -2) / \
+            wsum[..., None]
+        any_valid = jnp.any(valid, -1)
+    else:
+        any_valid = depth0 > -margin
 
     pos = jnp.concatenate([pos0[..., None, :], pos_p], axis=-2)  # (..., 5, 3)
     nrm = jnp.concatenate([n0[..., None, :], n_p], axis=-2)

@@ -133,7 +133,7 @@ _NCON_TABLE = {
     (GEOM_CYLINDER, GEOM_BOX): 5,
     (GEOM_BOX, GEOM_BOX): 4,
     (GEOM_SPHERE, GEOM_MESH): 1,
-    (GEOM_MESH, GEOM_MESH): 1,
+    (GEOM_MESH, GEOM_MESH): 5,
 }
 
 
@@ -324,31 +324,50 @@ def _top3_feature(W, vals, tol):
     return jnp.where(ok[:, None], pts, pts[0][None])
 
 
+def _feature_tangent(f1, f2, rounds=8):
+    """Alternating projections between two support-feature triangles; returns
+    the (unlifted) tangential witness point."""
+    w = f1[0]
+    for _ in range(rounds):
+        w = ccd.clip_onto_triangle(w, f1[0], f1[1], f1[2])
+        w = ccd.clip_onto_triangle(w, f2[0], f2[1], f2[2])
+    return w
+
+
 def _hull_hull_witness(W1, W2, n, tol=1e-5, rounds=8):
     """Witness point for a hull-hull contact along unit direction n
     (depth_fn = sup1(n) + sup2(-n)): alternating projections between the two
     support features (top-3 verts each side — dense hulls make every contact
     vertex-face / edge-edge scale), lifted midway between the support planes.
     For vertex-face this lands exactly on EPA's witness (the vertex at half
-    depth); for face-face it lands inside the contact polygon (MuJoCo 3.10
-    emits a multi-point polygon manifold there — multiplicity not yet
-    reproduced, see docs/PERF_NOTES.md round 3)."""
+    depth); the multi-point face manifold MuJoCo emits is reproduced by
+    _mesh_mesh's perturbed re-solves."""
     f1 = _top3_feature(W1, W1 @ n, tol)
     f2 = _top3_feature(W2, W2 @ (-n), tol)
     s1 = jnp.max(W1 @ n)                  # geom1's support plane: n.x = s1
     s2 = -jnp.max(W2 @ (-n))              # geom2's support plane: n.x = s2
-    w = f1[0]
-    for _ in range(rounds):
-        w = ccd.clip_onto_triangle(w, f1[0], f1[1], f1[2])
-        w = ccd.clip_onto_triangle(w, f2[0], f2[1], f2[2])
+    w = _feature_tangent(f1, f2, rounds)
     return w + (0.5 * (s1 + s2) - jnp.dot(w, n)) * n
 
 
-def _mesh_mesh(p1, R1, W1l, n1, p2, R2, W2l, n2):
-    """Convex hull vs convex hull, single contact (MuJoCo nativeccd GJK/EPA
-    path; depth + normal match mj at ~5e-5 med / 1e-6 cos on hyqreal1's
-    folded-leg poses — scripts/probe_mesh_self2.py). W*l: (Vmax, 3) hull verts
-    in the geom frame (pads are interior points, harmless under support)."""
+def _mesh_mesh(p1, R1, W1l, n1, p2, R2, W2l, n2, margin):
+    """Convex hull vs convex hull with MuJoCo's 5-slot multi-contact manifold.
+
+    Depth/normal: support-SAT + pattern refinement (matches mj nativeccd EPA
+    at ~5e-5 med / 1e-6 cos on hyqreal1's folded-leg poses —
+    scripts/probes/probe_mesh_self2.py). Manifold: mj 3.10 emits 2-5
+    IDENTICAL-dist contacts per folded-leg hull pair, sitting at support
+    vertices of the vertex-side hull shifted half-depth along n (decoded in
+    scripts/probes/probe_mesh_manifold{2,3,4}.py: the selection matches the
+    same ±1e-3 rad relative-tilt re-solve rule decoded for cyl-box — a
+    vertex is picked when its support gap / distance-along-face ratio is
+    under the 2e-3 relative tilt). Contact 0 is the POCS hull witness (the
+    EPA-witness equivalent): for vertex-type contacts it lands ON the
+    deepest vertex and dedups, for edge/face-type it survives as the
+    interior contact — reproducing mj's observed counts. Validity is
+    margin-aware (hyqreal1 meshes carry margin=1e-3; mj emits manifolds in
+    the margin shell). W*l: (Vmax, 3) hull verts in the geom frame (pads are
+    interior points, harmless under support)."""
     W1 = W1l @ R1.T + p1[None]
     W2 = W2l @ R2.T + p2[None]
 
@@ -356,10 +375,56 @@ def _mesh_mesh(p1, R1, W1l, n1, p2, R2, W2l, n2):
         return ccd.supval_verts(d, W1) + ccd.supval_verts(-d, W2)
 
     d0s = jnp.stack([p2 - p1, jnp.mean(W2, 0) - jnp.mean(W1, 0)])
-    depth0, d0 = ccd.best_axis(depth_fn, d0s)
-    depth, n = ccd.pattern_refine(depth_fn, d0, depth0, rounds=20)
-    pos = _hull_hull_witness(W1, W2, n, tol=1e-5)
-    return -depth[None], pos[None], n[None]
+    d0_depth, d0 = ccd.best_axis(depth_fn, d0s)
+    # 48 rounds: mj's EPA runs to its 1e-6 ccd_tolerance on these dense
+    # hulls; 20 rounds left ~4e-4 depth slack on folded-leg pairs, 40+
+    # agrees with mj to ~1e-7 (measured at the t=148 trunk-thigh pair)
+    depth0, n0 = ccd.pattern_refine(depth_fn, d0, d0_depth, rounds=48)
+    w0 = _hull_hull_witness(W1, W2, n0, tol=1e-5)
+
+    # 4 perturbed re-solves about the geom centers (decoded multiccd rule,
+    # ccd.py module doc), warm-started at n0. eps for mesh pairs is FIT to
+    # the hyqreal1 vertex-selection data (probe_mesh_manifold{4,6}.py): mj
+    # emits a support vertex iff its (support gap)/(distance along the face)
+    # ratio is under a threshold bracketed in (2.08e-3, ~6e-3) rad — the
+    # cyl-box eps=1e-3 (2e-3 relative) falls just short of the emitted
+    # boundary case (t=148 v2 at 2.08e-3). 1.75e-3/side makes the relative
+    # tilt 3.5e-3 axis-aligned / 2.5e-3 at worst-case diagonal projection:
+    # inside the bracket either way
+    Ra, Rb = ccd.perturb_rots(n0, eps=1.75e-3)                 # (4, 3, 3)
+    W1p = jnp.einsum('kij,vj->kvi', Ra, W1 - p1) + p1
+    W2p = jnp.einsum('kij,vj->kvi', Rb, W2 - p2) + p2
+
+    def depth_fn_p(d):
+        exp = (slice(None),) + (None,) * (d.ndim - 2)
+        return (ccd.supval_verts(d, W1p[exp])
+                + ccd.supval_verts(-d, W2p[exp]))
+
+    n0b = jnp.broadcast_to(n0, (4, 3))
+    depth_p, n_p = ccd.pattern_refine(depth_fn_p, n0b, depth_fn_p(n0b),
+                                      rounds=12, r0=8e-3)
+    # Per-config witness: support features selected on the TILTED hulls but
+    # materialized at UNROTATED vertex positions (mj reports unperturbed
+    # coordinates; rotated positions would scatter the same logical vertex
+    # ~2·eps·r apart across configs and defeat the dedup), POCS'd to the
+    # tangential witness and lifted midway between the UNPERTURBED support
+    # planes (mj's manifold shares the unperturbed depth for both dist and
+    # the half-depth lift — probe_mesh_manifold3.py). Vertex-type contacts
+    # land exactly on the emitted vertex; edge-edge contacts collapse onto
+    # the crossing point and dedup against contact 0, matching mj's
+    # single-contact behavior there.
+    s1 = jnp.max(W1 @ n0)
+    s2 = -jnp.max(W2 @ (-n0))
+
+    def config_witness(Wp1, Wp2, nk):
+        f1 = _top3_feature(W1, Wp1 @ nk, 1e-5)
+        f2 = _top3_feature(W2, Wp2 @ (-nk), 1e-5)
+        w = _feature_tangent(f1, f2)
+        return w + (0.5 * (s1 + s2) - jnp.dot(w, n0)) * n0
+
+    pos_p = jax.vmap(config_witness)(W1p, W2p, n_p)
+    return ccd.manifold_from_perturbed(depth0, n0, depth_p, pos_p, n_p,
+                                       margin=margin, pos0=w0)
 
 
 def _sphere_mesh(c, r, p2, R2, W2l, n2):
@@ -1642,7 +1707,8 @@ def collide(m: Model, kin) -> Contacts:
             W2l = jnp.asarray(m.mesh_vert, dtype)[did2]
             n1 = jnp.asarray(m.mesh_vertnum)[did1]
             n2 = jnp.asarray(m.mesh_vertnum)[did2]
-            d, p, n = jax.vmap(_mesh_mesh)(p1, R1, W1l, n1, p2, R2, W2l, n2)
+            d, p, n = jax.vmap(_mesh_mesh)(p1, R1, W1l, n1, p2, R2, W2l, n2,
+                                           marg)
             feats.append(jnp.concatenate([
                 d.reshape(1, -1), p.reshape(-1, 3).T, n.reshape(-1, 3).T],
                 axis=0))

@@ -110,10 +110,24 @@ def ray_hfield(m: Model, gpos, gmat, o, d):
     t_vert = (h0 - local_o[2]) / dz
     t_vert = jnp.where(inside0 & (t_vert >= 0), t_vert, _BIG)
 
-    # marching solution: sample along the ray, find first below-surface sample
+    # marching solution: sample along the ray, find first below-surface
+    # sample. The sample window is the ray's overlap with the hfield's AABB
+    # (x/y half-sizes, z in [-base, max_height]) rather than the full field
+    # diameter: camera rays from a standing robot overlap the AABB for a few
+    # meters, so 64 samples give ~cm strides instead of ~0.5 m (which could
+    # step over a whole bump silently; bound pinned by
+    # tests/test_raycast_oracle.py against mj_ray)
     T = 64
-    span = 2.0 * jnp.maximum(sz[0], sz[1]) + 1.0
-    ts = jnp.linspace(0.0, 1.0, T).astype(dtype) * span
+    lo_box = jnp.stack([-sz[0], -sz[1], -sz[3]])
+    hi_box = jnp.stack([sz[0], sz[1], sz[2]])
+    dl_safe = jnp.where(jnp.abs(local_d) < 1e-12, 1e-12, local_d)
+    tb1 = (lo_box - local_o) / dl_safe
+    tb2 = (hi_box - local_o) / dl_safe
+    t_enter = jnp.maximum(jnp.max(jnp.minimum(tb1, tb2)), 0.0)
+    t_exit = jnp.min(jnp.maximum(tb1, tb2))
+    overlaps = t_exit > t_enter
+    span = jnp.where(overlaps, t_exit - t_enter, 0.0)
+    ts = t_enter + jnp.linspace(0.0, 1.0, T).astype(dtype) * span
     pts = local_o[None, :] + ts[:, None] * local_d[None, :]
     hs = jax.vmap(lambda p: hfield_height(m, p[0], p[1], dtype))(pts)
     inside = (jnp.abs(pts[:, 0]) <= sz[0]) & (jnp.abs(pts[:, 1]) <= sz[1])

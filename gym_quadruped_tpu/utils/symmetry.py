@@ -94,3 +94,73 @@ def configure_observation_space_representations(
             raise ValueError(f'Invalid observation name: {name}, '
                              f'available: {ALL_OBS}')
     return obs_reps
+
+
+def augment_obs_data(obs_data: dict, obs_reps: dict, fix_base: bool = False
+                     ) -> dict:
+    """Symmetry-augment a dict of observation arrays with every group element.
+
+    Port of the reference's augmentation demo
+    (examples/dataset_reproduction.py:26-58): for each non-identity group
+    element g, each observable with a representation is mapped by
+    `rep(g) @ obs`; the base quaternion inside `qpos` transforms by
+    conjugation of its rotation matrix with the R3 representation. Works
+    with any escnn-like group (duck-typed: `rep.group`, `group.identity`,
+    `group.elements`, `group.representations['R3']`, `rep(g) -> matrix`), so
+    it is unit-testable without morpho_symm installed.
+
+    NOTE: MuJoCo qpos quaternions are wxyz (scalar-first); the reference
+    feeds them to scipy as xyzw (dataset_reproduction.py:52-55 passes
+    scalar_first=False), silently mis-rotating — the intended semantics
+    (correct wxyz handling via utils.maths) are implemented here, per the
+    SURVEY §8 do-not-replicate list.
+
+    Args:
+      obs_data: {obs_name: array (..., dim)}.
+      obs_reps: {obs_name: Representation or None} — from
+        configure_observation_space_representations.
+      fix_base: pin the base xy to a constant before augmenting (the
+        reference's visualization trick for side-by-side ghost replays).
+
+    Returns:
+      {obs_name: {group_element: array or None}} — identity element maps to
+      the input data.
+    """
+    from gym_quadruped_tpu.utils import maths
+
+    assert len(obs_data) > 0
+    rep0 = next(r for r in obs_reps.values() if r is not None)
+    G = rep0.group
+    obs_data = {k: np.array(v) for k, v in obs_data.items()}
+    if fix_base and 'base_pos' in obs_data:
+        base_xy = np.array(obs_data['base_pos'][..., :2])
+        obs_data['base_pos'][..., :2] = 1.0
+        if 'qpos' in obs_data:
+            obs_data['qpos'][..., :2] = 1.0
+        if 'feet_pos' in obs_data:
+            for leg in range(4):
+                sl = slice(3 * leg, 3 * leg + 2)
+                obs_data['feet_pos'][..., sl] -= base_xy - 1.0
+
+    out = {name: {G.identity: data} for name, data in obs_data.items()}
+    for g in G.elements[1:]:
+        for name, data in obs_data.items():
+            rep = obs_reps.get(name)
+            if rep is None:
+                out[name][g] = None
+            else:
+                out[name][g] = np.einsum('ij,...j->...i', rep(g), data)
+
+    # base quaternion (qpos[..., 3:7], wxyz): conjugate the rotation matrix
+    reps = getattr(G, 'representations', {})
+    if 'qpos' in out and 'R3' in reps:
+        rep_R3 = reps['R3']
+        q_wxyz = out['qpos'][G.identity][..., 3:7]
+        R = np.asarray(maths.quat_to_mat(q_wxyz))
+        for g in G.elements[1:]:
+            if out['qpos'][g] is None:
+                continue
+            M = rep_R3(g)
+            gR = np.einsum('ij,...jk,lk->...il', M, R, M)
+            out['qpos'][g][..., 3:7] = np.asarray(maths.mat_to_quat(gR))
+    return out

@@ -59,3 +59,34 @@ def test_static_scenes_compile(scene):
     assert m.ngeom > 0
     n_world = int(np.sum(m.geom_bodyid == 0))
     assert n_world >= 2  # floor + scene boxes
+
+
+@pytest.mark.parametrize('robot,scene,min_world', [
+    ('aliengo', 'rough', 100),          # 2500-box field (scene_rough.xml)
+    ('aliengo', 'stairs', 10),          # generic stairs wins (ref semantics)
+    ('mini_cheetah', 'slope', 1),       # ships only a floor plane
+    ('mini_cheetah', 'suspend_stairs', 1),
+    ('hyqreal1', 'rough', 100),
+])
+def test_per_robot_scenes_compile(robot, scene, min_world):
+    """Per-robot extra scenes shipped by the reference under
+    robot_model/<robot>/scene_*.xml (unreachable via the reference's own
+    scene= arg — quadruped_env.py:153; reachable here by name)."""
+    import mujoco
+
+    from gym_quadruped_tpu.models.builder import build_mj_model
+
+    mj, limits = build_mj_model(robot, scene)
+    n_world = sum(1 for g in range(mj.ngeom) if mj.geom_bodyid[g] == 0)
+    assert n_world >= min_world
+    assert limits[0] > limits[1] and limits[2] > limits[3]
+    d = mujoco.MjData(mj)
+    mujoco.mj_resetDataKeyframe(mj, d, 0)
+    mujoco.mj_forward(mj, d)  # the merged model is steppable
+
+
+def test_unknown_scene_raises():
+    from gym_quadruped_tpu.models.builder import compose_scene_xml
+
+    with pytest.raises(ValueError):
+        compose_scene_xml('go2', 'no_such_scene')

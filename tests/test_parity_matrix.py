@@ -39,11 +39,15 @@ MATRIX = [
     ('mini_cheetah', 'flat', 'random', None),
     ('hyqreal1', 'flat', 'stance', None),
     ('hyqreal1', 'flat', 'random',
-     'mesh-mesh manifold multiplicity: MuJoCo 3.10 nativeccd emits 2-5 '
-     'identical-depth polygon contacts per folded-leg hull pair; we emit one '
-     '(exact depth/normal, in-polygon witness). Tracks at ~5e-5 until legs '
-     'fold at step ~145, then ~4e-2 (was ~1e-1 with no self-collision; '
-     'plane-mesh contacts are exact — test_plane_mesh_oracle)'),
+     'mesh-mesh manifolds now REPRODUCE mj 3.10 multiplicity on the deep '
+     'folded-leg pairs (r4: decoded vertex-manifold rule, depths match mj '
+     'EPA to ~1e-7, matched positions med 1.2e-5 — '
+     'probe_mesh_manifold{2..6}.py), but shallow margin-shell pairs still '
+     'over-emit 1-2 extra same-depth contacts (count histogram (1,2)/(1,3) '
+     'rows) and the folded-leg trajectory is chaotic: measured 4.8e-2 over '
+     '200 steps (was ~4e-2 with single contacts, ~1e-1 with no '
+     'self-collision; plane-mesh contacts are exact — '
+     'test_plane_mesh_oracle)'),
     ('go2', 'flat', 'random', None),
     ('aliengo', 'flat', 'random', None),
     ('go1', 'flat', 'random', None),
