@@ -347,9 +347,9 @@ def _config_table(batch, n_steps):
         ('cpu', 'cpu_mujoco_single_env',
          lambda: measure_mujoco_cpu('go2', 'flat'), 300),
         ('mpc_warm', f'mpc_warm_solves_per_s_H12_b{batch}',
-         lambda: measure_mpc_warm(batch), 600),
+         lambda: measure_mpc_warm(batch), 1500),
         ('mpc', f'mpc_solves_per_s_H12_b{batch}',
-         lambda: measure_mpc(batch), 600),
+         lambda: measure_mpc(batch), 1200),
         ('cfg2', f'go2_perlin_b{batch}',
          lambda: measure_engine('go2', 'perlin', batch, n_steps), 900),
         ('cfg3', f'aliengo_flat_heightmap_imu_b{batch // 2}',

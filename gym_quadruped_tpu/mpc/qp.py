@@ -134,6 +134,54 @@ def project_pyramid(v, stance, mu, fz_min, fz_max, sweeps: int = 8):
     return jnp.stack([fx, fy, fz], axis=1).reshape(-1)
 
 
+_NS_ITERS = 18
+_NS_SHIFT = 0.02
+
+
+def spd_inverse(K, swing_mask, iters: int = _NS_ITERS):
+    """Matmul-only SPD inverse for the ADMM x-update (Newton-Schulz).
+
+    Why not `jnp.linalg.inv`: the batched (B, 144, 144) LU inverse costs
+    468 ms at B=4096 on v5e — 95% of the ENTIRE MPC solve (measured,
+    scripts/probes/probe_mpc_cost.py); XLA lowers the factorization to
+    sequential loops that cannot use the MXU. Newton-Schulz
+    (X ← X(2I − KX)) is two batched matmuls per iteration.
+
+    Conditioning (measured on real trot matrices, probe_mpc_ns.py):
+    ~75% of K's spectrum sits AT the r_diag+rho floor (1.1e-4) — all swing
+    force directions plus the cost-flat stance tangentials — against a
+    1.4e-1 top eigenvalue (κ ≈ 1.3e3). Mitigations, all measured:
+      * swing columns of K are EXACTLY (r_diag+rho)·I (their Su columns are
+        zero), so they are lifted by `_NS_SHIFT` before the iteration and
+        restored by an exact diagonal correction afterwards;
+      * bf16 and bf16x3 matmuls diverge / floor at ~0.4 residual (the 1/base
+        ≈ 9e3 dynamic range amplifies multiply noise) — the loop must run at
+        f32-highest;
+      * 18 iterations from the identity/row-sum init reach the f32 residual
+        floor (‖I − XK‖_F ≈ 2e-3, vs 1e-4 for LU); the end-to-end ADMM
+        solution differs from the LU path by ~4e-3 N on a 165 N force scale.
+    Net: 468 ms → ~170 ms for the x-update setup; whole-solve rate 7.9k →
+    ~17k solves/s at B=4096.
+    """
+    n = K.shape[-1]
+    dtype = K.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    # swing diagonal = r_diag + rho exactly; min over the diag recovers it
+    # without threading the weight constants through
+    base = jnp.min(jnp.diagonal(K))
+    D = jnp.where(swing_mask, jnp.asarray(_NS_SHIFT, dtype), 0.0)
+    K2 = K + jnp.diag(D)
+    lam = jnp.max(jnp.sum(jnp.abs(K2), axis=-1))       # ≥ λmax(K2)
+    X = eye / lam
+
+    def body(_, X):
+        return X @ (2.0 * eye - K2 @ X)
+
+    X = jax.lax.fori_loop(0, iters, body, X)
+    corr = jnp.where(swing_mask, 1.0 / base - 1.0 / (base + _NS_SHIFT), 0.0)
+    return X + jnp.diag(corr)
+
+
 def admm_solve(Hq, q, schedule, mu, fz_min, fz_max, iterations: int = 30,
                rho: float = 1e-4, warmstart=None):
     """Fixed-iteration consensus ADMM. Returns (U_feasible, (U, z, y) warm).
@@ -141,13 +189,16 @@ def admm_solve(Hq, q, schedule, mu, fz_min, fz_max, iterations: int = 30,
     The x-update uses an explicit K⁻¹ computed ONCE per solve: batched small
     triangular solves are a TPU weak spot (XLA lowers them to sequential loops —
     measured ~92 ms per iteration at B=4096), whereas K⁻¹ turns every iteration
-    into one (n × n) matvec that batches onto the MXU. ADMM is robust to the
-    slightly less accurate x-update (K is regularized by ρI)."""
+    into one (n × n) matvec that batches onto the MXU. The inverse itself is
+    Newton-Schulz (`spd_inverse`), not LU — see its docstring for the measured
+    rationale. ADMM is robust to the slightly less accurate x-update (K is
+    regularized by ρI)."""
     dtype = Hq.dtype
     n = Hq.shape[0]
     K = Hq + rho * jnp.eye(n, dtype=dtype)
-    Kinv = jnp.linalg.inv(K)
     stance = schedule.reshape(-1).astype(dtype)
+    swing3 = jnp.repeat(stance, 3) == 0          # (H·NU,) force-component mask
+    Kinv = spd_inverse(K, swing3)
 
     if warmstart is None:
         U = jnp.zeros(n, dtype)

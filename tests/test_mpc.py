@@ -106,3 +106,42 @@ def test_mpc_standing_forces_support_weight():
     assert (f0[:, 2] > 0.05 * weight).all()
     # friction pyramid respected
     assert (np.abs(f0[:, 0]) <= 0.7 * f0[:, 2] + 1e-6).all()
+
+
+def test_spd_inverse_matches_lu():
+    """Newton-Schulz x-update inverse (qp.spd_inverse) vs LU on matrices with
+    the production structure: swing columns exactly (r+rho)I, flat stance
+    tangentials at the same floor, stiff block on top."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gym_quadruped_tpu.mpc import qp
+
+    rng = np.random.RandomState(0)
+    n, n_stiff = 144, 36
+    r, rho = 1e-5, 1e-4
+    # random PSD with a stiff range and a flat remainder + (r+rho) diag
+    V = rng.normal(size=(n, n_stiff))
+    V, _ = np.linalg.qr(V)
+    lams = rng.uniform(1e-3, 0.14, n_stiff)
+    Hq = (V * lams) @ V.T + r * np.eye(n)
+    K = jnp.asarray(Hq + rho * np.eye(n))
+    # swing mask: zero out those rows/cols to exactly (r+rho) e_i
+    swing = np.zeros(n, bool)
+    swing[:60] = True
+    Kn = np.array(K)
+    Kn[swing, :] = 0.0
+    Kn[:, swing] = 0.0
+    idx = np.where(swing)[0]
+    Kn[idx, idx] = r + rho
+    K = jnp.asarray(Kn)
+
+    X = jax.jit(lambda K: qp.spd_inverse(K, jnp.asarray(swing)))(K)
+    Xlu = np.linalg.inv(np.asarray(K, np.float64))
+    resid = np.linalg.norm(np.eye(n) - np.asarray(X, np.float64) @
+                           np.asarray(K, np.float64))
+    assert resid < 1e-5, resid         # f64 CPU: NS converges well past f32
+    # and the action on a vector matches LU
+    b = rng.normal(size=n)
+    np.testing.assert_allclose(np.asarray(X) @ b, Xlu @ b, atol=1e-5)
