@@ -136,6 +136,7 @@ def project_pyramid(v, stance, mu, fz_min, fz_max, sweeps: int = 8):
 
 _NS_ITERS = 18
 _NS_SHIFT = 0.02
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def spd_inverse(K, swing_mask, iters: int = _NS_ITERS):
@@ -175,7 +176,11 @@ def spd_inverse(K, swing_mask, iters: int = _NS_ITERS):
     X = eye / lam
 
     def body(_, X):
-        return X @ (2.0 * eye - K2 @ X)
+        # Pinned to HIGHEST: the bf16 MXU default diverges here (see above) —
+        # a library user must not need the global matmul-precision flag for
+        # the controller to produce a correct inverse (matches solver._PREC).
+        KX = jnp.matmul(K2, X, precision=_PREC)
+        return jnp.matmul(X, 2.0 * eye - KX, precision=_PREC)
 
     X = jax.lax.fori_loop(0, iters, body, X)
     corr = jnp.where(swing_mask, 1.0 / base - 1.0 / (base + _NS_SHIFT), 0.0)
@@ -209,7 +214,7 @@ def admm_solve(Hq, q, schedule, mu, fz_min, fz_max, iterations: int = 30,
 
     def body(_, carry):
         U, z, y = carry
-        U = Kinv @ (rho * (z - y) - q)
+        U = jnp.matmul(Kinv, rho * (z - y) - q, precision=_PREC)
         z = project_pyramid(U + y, stance, mu, fz_min, fz_max)
         y = y + U - z
         return U, z, y

@@ -166,6 +166,11 @@ _MODEL_CACHE: dict = {}
 
 
 def contact_layout(m: Model) -> tuple:
+    # collision_bt._SubsetModel narrows the pair list to one type group for
+    # its per-group fallback path
+    override = getattr(m, '_layout_override', None)
+    if override is not None:
+        return override
     key = id(m)
     _MODEL_CACHE[key] = m
     return _layout_cached(key)
@@ -637,7 +642,6 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
     group costs ~2 ms. Returns (d (G, 16), pos (G, 16, 3), n (G, 16, 3)) of
     ALL candidates; _deepest_k-style selection happens here too (static
     unroll), emitting (G, 4) slots."""
-    G = p1.shape[0]
     dtype = p1.dtype
     P1 = [p1[:, i] for i in range(3)]
     P2 = [p2[:, i] for i in range(3)]
@@ -645,6 +649,41 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
     S2 = [s2[:, i] for i in range(3)]
     R1c = [[R1[:, i, j] for j in range(3)] for i in range(3)]
     R2c = [[R2[:, i, j] for j in range(3)] for i in range(3)]
+    cands = _box_box_cands_cl(P1, R1c, S1, P2, R2c, S2, dtype)
+
+    # 4 deepest of the 17 candidates — static unrolled min extraction
+    big = jnp.asarray(1e9, dtype)
+    ds = [c[0] for c in cands]
+    sel_d, sel_p, sel_n = [], [], []
+    for _ in range(4):
+        dmin = ds[0]
+        for dd in ds[1:]:
+            dmin = jnp.minimum(dmin, dd)
+        taken = jnp.zeros_like(dmin, dtype=bool)
+        w = []
+        for dd in ds:
+            hit = (dd == dmin) & ~taken
+            taken = taken | hit
+            w.append(hit.astype(dtype))
+        sel_d.append(dmin)
+        sel_p.append([sum(w[c] * cands[c][1][i] for c in range(len(cands)))
+                      for i in range(3)])
+        sel_n.append([sum(w[c] * cands[c][2][i] for c in range(len(cands)))
+                      for i in range(3)])
+        ds = [dd + ww * big for dd, ww in zip(ds, w)]
+
+    d = jnp.stack(sel_d, axis=1)                              # (G, 4)
+    pos = jnp.stack([jnp.stack(p, axis=1) for p in sel_p], axis=1)  # (G, 4, 3)
+    n = jnp.stack([jnp.stack(x, axis=1) for x in sel_n], axis=1)
+    return d, pos, n
+
+
+def _box_box_cands_cl(P1, R1c, S1, P2, R2c, S2, dtype):
+    """Candidate contacts for box-box in component-plane form: 16 corner tests
+    + 1 edge-edge SAT candidate. Inputs are component LISTS of planes of any
+    shape — (G,) under the per-env group path, (G, B) under the
+    batch-trailing path (collision_bt) — all ops elementwise over the plane.
+    Returns a list of (d, pos[3], n[3]) candidate triples."""
     # python floats, not numpy scalars: np.float64 scalars are strong-typed
     # and silently promote the whole feature tensor to f64 under x64
     signs = [[float(x) for x in row] for row in _BOX_CORNER_SIGNS]
@@ -716,15 +755,15 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
     # face-axis overlaps: separation check + the edge candidate is only valid
     # when its cross axis is the GLOBAL SAT minimum (otherwise the contact is
     # face-type and the cross-axis "depth" is a large interior overlap)
-    sep = jnp.full((G,), -big0, dtype)
-    min_face = jnp.full((G,), big0, dtype)
+    sep = jnp.full_like(P1[0], -big0)
+    min_face = jnp.full_like(P1[0], big0)
     for axs in (ax1, ax2):
         for j in range(3):
             ov = overlap(axs[j])
             sep = jnp.maximum(sep, -ov)
             min_face = jnp.minimum(min_face, ov)
 
-    best_d = jnp.full((G,), big0, dtype)
+    best_d = jnp.full_like(P1[0], big0)
     best = None
     for j1 in range(3):
         for j2 in range(3):
@@ -773,39 +812,14 @@ def _box_box_group(p1, R1, s1, p2, R2, s2):
                          for i in range(3)])
     # suppress when separated along any axis or when a corner candidate
     # already covers this contact (within 2 mm)
-    near_corner = jnp.zeros((G,), bool)
+    near_corner = jnp.zeros_like(P1[0], dtype=bool)
     for (d_c, pw, _) in cands:
         dd2 = sum((pw[i] - best[0][i]) ** 2 for i in range(3))
         near_corner = near_corner | ((dd2 < 4e-6) & (d_c < 0))
     d_edge = jnp.where((sep > 0) | near_corner | (-best_d > min_face),
                        big0, best_d)
     cands.append((d_edge, best[0], best[1]))
-
-    # 4 deepest of the 17 candidates — static unrolled min extraction
-    big = jnp.asarray(1e9, dtype)
-    ds = [c[0] for c in cands]
-    sel_d, sel_p, sel_n = [], [], []
-    for _ in range(4):
-        dmin = ds[0]
-        for dd in ds[1:]:
-            dmin = jnp.minimum(dmin, dd)
-        taken = jnp.zeros_like(dmin, dtype=bool)
-        w = []
-        for dd in ds:
-            hit = (dd == dmin) & ~taken
-            taken = taken | hit
-            w.append(hit.astype(dtype))
-        sel_d.append(dmin)
-        sel_p.append([sum(w[c] * cands[c][1][i] for c in range(len(cands)))
-                      for i in range(3)])
-        sel_n.append([sum(w[c] * cands[c][2][i] for c in range(len(cands)))
-                      for i in range(3)])
-        ds = [dd + ww * big for dd, ww in zip(ds, w)]
-
-    d = jnp.stack(sel_d, axis=1)                              # (G, 4)
-    pos = jnp.stack([jnp.stack(p, axis=1) for p in sel_p], axis=1)  # (G, 4, 3)
-    n = jnp.stack([jnp.stack(x, axis=1) for x in sel_n], axis=1)
-    return d, pos, n
+    return cands
 
 
 def hfield_height(m: Model, x, y, dtype):

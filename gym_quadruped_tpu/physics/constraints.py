@@ -198,6 +198,11 @@ class Efc:
     cone_dist: Any    # (C,) contact distance of the cone slots (culling key)
     cone_sel: Any = None  # (C,) int32 original cone-slot index of each block (for
     #                   scattering forces back when assembly was pre-culled)
+    pyr_sel: Any = None  # (Kp,) int32 local indices into lay.simple_con_slots
+    #                   when PYRAMIDAL contact rows were cull-assembled; the
+    #                   simple block then holds n_fl+n_lim static rows followed
+    #                   by 2(condim-1) rows per selected slot (forces.py
+    #                   decodes/scatters through this)
 
 
 def _point_jacobians(m: Model, kin: Kin, cdof: jnp.ndarray, pos: jnp.ndarray,
@@ -354,8 +359,86 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
                             + m.body_invweight0[lay.con_body1, 1], dtype) \
         if S else None
 
-    # simple-row contacts (frictionless or pyramidal): static, usually few slots
+    # simple-row contacts (frictionless or pyramidal)
     ss = lay.simple_con_slots
+    pyr_sel = None
+    uniform_cd = ({int(c) for c in lay.con_condim[ss]} if len(ss) else set())
+    if len(ss) and len(uniform_cd) == 1 and (cd_u := uniform_cd.pop()) > 1:
+        # Vectorized CULLED pyramidal assembly: only the max_cone nearest
+        # slots get rows (exact when ≤ max_cone slots touch — the same
+        # measured cap argument as the cone path). Replaces the per-slot
+        # Python loop below, which at hyqreal2/random_boxes scale (6173
+        # slots → 24722 rows) neither compiles nor runs in budget.
+        from gym_quadruped_tpu.physics.collision import make_frame as _mkp
+        Ks = len(ss) if max_cone is None else min(max_cone, len(ss))
+        ss_np = np.asarray(ss)
+        dist_s = contacts.dist[ss_np]
+        if Ks < len(ss):
+            _, sel = jax.lax.top_k(-dist_s, Ks)
+        else:
+            sel = jnp.arange(len(ss), dtype=jnp.int32)
+        onehot_p = (sel[:, None] ==
+                    jnp.arange(len(ss), dtype=sel.dtype)[None, :]).astype(dtype)
+
+        def take_pyr(x):
+            flat = x.reshape(len(ss), -1)
+            out = jnp.matmul(onehot_p, flat,
+                             precision=jax.lax.Precision.HIGHEST)
+            return out.reshape((Ks,) + x.shape[1:])
+
+        feat_static = jnp.asarray(np.concatenate([
+            mask_table[ss_np],                            # nv
+            np.asarray(lay.con_margin)[ss_np, None],      # 1
+            np.asarray(lay.con_solimp)[ss_np],            # 5
+            np.asarray(lay.con_solref)[ss_np],            # 2
+            np.asarray(lay.con_incl)[ss_np, None],        # 1
+        ], axis=1), dtype)
+        feat_traced = jnp.concatenate([
+            contacts.feat[:, ss_np].T,                    # 7
+            inv_t_all[ss_np][:, None],                    # 1
+            inv_r_all[ss_np][:, None],                    # 1
+            con_mu[ss_np],                                # 5
+        ], axis=1)
+        sel_feat = take_pyr(jnp.concatenate([feat_static, feat_traced],
+                                            axis=1))
+        o = 0
+        masks_s = sel_feat[:, o:o + nv]; o += nv
+        margin_s = sel_feat[:, o]; o += 1
+        solimp_s = sel_feat[:, o:o + 5]; o += 5
+        solref_s = sel_feat[:, o:o + 2]; o += 2
+        incl_s = sel_feat[:, o]; o += 1
+        dist_sel = sel_feat[:, o]; o += 1
+        pos_s = sel_feat[:, o:o + 3]; o += 3
+        n_s = sel_feat[:, o:o + 3]; o += 3
+        inv_ts = sel_feat[:, o]; o += 1
+        inv_rs = sel_feat[:, o]; o += 1
+        mu_s = sel_feat[:, o:o + 5]; o += 5
+
+        dirs, vel6 = slot_dirs_vel(pos_s, _mkp(n_s), masks_s)
+        x_p = dist_sel - margin_s
+        imp_p = impedance(solimp_s, x_p)
+        K_p, B_p = kb(solref_s, solimp_s)
+        include_p = dist_sel < incl_s
+        rimp_p = jnp.maximum(1.0 - imp_p, 1e-4) / imp_p
+        fri_inv = [inv_ts, inv_ts, inv_rs, inv_rs, inv_rs]
+        rows_J, rows_aref, rows_R = [], [], []
+        for i in range(cd_u - 1):
+            mu_i = mu_s[:, i]
+            diag = 2.0 * (inv_ts + mu_i * mu_i * fri_inv[i])
+            for sgn in (1.0, -1.0):
+                rows_J.append(dirs[:, 0] + sgn * mu_i[:, None] * dirs[:, 1 + i])
+                vel = vel6[:, 0] + sgn * mu_i * vel6[:, 1 + i]
+                rows_aref.append(-B_p * vel - K_p * imp_p * x_p)
+                rows_R.append(rimp_p * diag)
+        nrows = 2 * (cd_u - 1)
+        J_rows.append(jnp.stack(rows_J, axis=1).reshape(Ks * nrows, nv))
+        aref_rows.append(jnp.stack(rows_aref, axis=1).reshape(-1))
+        R_rows.append(jnp.stack(rows_R, axis=1).reshape(-1))
+        act_rows.append(jnp.repeat(include_p, nrows))
+        fl_rows.append(jnp.zeros(Ks * nrows, dtype))
+        pyr_sel = sel.astype(jnp.int32)
+        ss = ss[:0]                                       # skip the loop below
+
     if len(ss):
         from gym_quadruped_tpu.physics.collision import make_frame as _mk
         pos_s = contacts.pos[ss]
@@ -492,11 +575,12 @@ def make_efc(m: Model, kin: Kin, qpos: jnp.ndarray, qvel: jnp.ndarray,
         J = jnp.zeros((0, nv), dtype)
         aref = R = fl = jnp.zeros((0,), dtype)
         active = jnp.zeros((0,), bool)
-    assert J.shape[0] == lay.n_simple, (J.shape, lay.n_simple)
+    if pyr_sel is None:
+        assert J.shape[0] == lay.n_simple, (J.shape, lay.n_simple)
     return Efc(J=J, aref=aref, R=R, active=active, frictionloss=fl,
                con_J=con_J, con_aref=con_aref, con_R=con_R, con_active=con_active,
                cone_mu=cone_mu, cone_dim_mask=cone_dim_mask, cone_dist=cone_dist,
-               cone_sel=cone_sel)
+               cone_sel=cone_sel, pyr_sel=pyr_sel)
 
 
 def scatter_cone_forces(cone_sel, f_cone, C_all: int):

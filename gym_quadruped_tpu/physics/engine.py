@@ -29,6 +29,8 @@ from gym_quadruped_tpu.physics.constraints import (
     make_efc,
     scatter_cone_forces,
 )
+from gym_quadruped_tpu.physics.collision_bt import collide_bt
+from gym_quadruped_tpu.physics.constraints_bt import make_efc_bt, supports_bt
 from gym_quadruped_tpu.physics.kinematics import Kin, cdof as _cdof, fk
 from gym_quadruped_tpu.physics.solver import solve
 from gym_quadruped_tpu.utils.maths import quat_integrate
@@ -74,11 +76,94 @@ def _pre_solve(m: Model, qpos, qvel, ctrl, qfrc_applied=None, con_mu=None,
 
     qacc_smooth = spd_solve(M, qfrc_smooth)
 
-    contacts = collide(m, kin)
-    efc = make_efc(m, kin, qpos, qvel, contacts, cdof, con_mu=con_mu,
-                   max_cone=max_cone)
+    feat, efc = _collide_efc(m, max_cone)(kin, qpos, qvel, cdof, con_mu)
+    contacts = Contacts(feat)
     return (kin, cdof, M, bias, passive, act, qfrc_smooth, qacc_smooth,
             contacts, efc)
+
+
+# narrow phase + constraint assembly, with a custom-vmap rule that dispatches
+# the BATCHED case to the batch-trailing implementations — the layout the
+# current TPU platform needs (collision_bt/constraints_bt module docstrings).
+# Per-env callers (engine.step) run the validated per-env path unchanged;
+# vmapped callers (step_batched, vmap(env.step)) get the BT path for free.
+_COLLIDE_EFC_CACHE: dict = {}
+
+
+def _collide_efc(m: Model, max_cone):
+    key = (id(m), max_cone)
+    cached = _COLLIDE_EFC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from gym_quadruped_tpu.physics.constraints import constraint_layout as _cl
+    lay = _cl(m)
+
+    @jax.custom_batching.custom_vmap
+    def collide_efc(kin, qpos, qvel, cdof, con_mu):
+        contacts = collide(m, kin)
+        efc = make_efc(m, kin, qpos, qvel, contacts, cdof, con_mu=con_mu,
+                       max_cone=max_cone)
+        return contacts.feat, efc
+
+    @collide_efc.def_vmap
+    def _rule(axis_size, in_batched, kin, qpos, qvel, cdof, con_mu):
+        # broadcast any unbatched LEAF (flags are per-leaf: empty/constant
+        # Kin leaves can be unbatched while the rest are batched)
+        def bc(x, xb):
+            return jax.tree_util.tree_map(
+                lambda l, b: l if b
+                else jnp.broadcast_to(l, (axis_size,) + l.shape), x, xb)
+
+        kin_b, qpos_b, qvel_b, cdof_b, mu_b = in_batched
+        kin = bc(kin, kin_b)
+        qpos = bc(qpos, qpos_b)
+        qvel = bc(qvel, qvel_b)
+        cdof = bc(cdof, cdof_b)
+        if con_mu is not None:
+            con_mu = bc(con_mu, mu_b)
+
+        # nested vmaps (e.g. vmap over robots of vmap over envs) reach this
+        # rule with EXTRA leading batch dims — flatten them into one batch
+        # axis for the BT implementations, unflatten on the way out
+        lead = qpos.ndim - 1
+        batch_shape = qpos.shape[:lead]
+
+        def flat(x):
+            return jax.tree_util.tree_map(
+                lambda l: l.reshape((-1,) + l.shape[lead:]), x)
+
+        if lead > 1:
+            kin, qpos, qvel, cdof = (flat(kin), flat(qpos), flat(qvel),
+                                     flat(cdof))
+            if con_mu is not None:
+                con_mu = flat(con_mu)
+
+        feat_bt = collide_bt(m, kin.geom_xpos, kin.geom_xmat)   # (7, S, B)
+        feat_bl = jnp.transpose(feat_bt, (2, 0, 1))             # (B, 7, S)
+        if supports_bt(lay):
+            origin = kin.subtree_com[:, 0]
+            efc = make_efc_bt(m, lay, feat_bt, qpos, qvel, cdof, origin,
+                              con_mu=con_mu, max_cone=max_cone)
+        else:
+            # pyramidal / simple-contact models: per-env assembly (narrow
+            # phase still ran batch-trailing above)
+            if con_mu is None:
+                efc = jax.vmap(lambda k, qp, qv, cd, f: make_efc(
+                    m, k, qp, qv, Contacts(f), cd, con_mu=None,
+                    max_cone=max_cone))(kin, qpos, qvel, cdof, feat_bl)
+            else:
+                efc = jax.vmap(lambda k, qp, qv, cd, f, cm: make_efc(
+                    m, k, qp, qv, Contacts(f), cd, con_mu=cm,
+                    max_cone=max_cone))(kin, qpos, qvel, cdof, feat_bl,
+                                        con_mu)
+        out = (feat_bl, efc)
+        if lead > 1:
+            out = jax.tree_util.tree_map(
+                lambda l: l.reshape(batch_shape + l.shape[1:]), out)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    _COLLIDE_EFC_CACHE[key] = collide_efc
+    return collide_efc
 
 
 # Default Newton iteration cap. Overridable via GQT_SOLVER_ITERS so the whole

@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gym_quadruped_tpu.models.model import Model
@@ -63,6 +64,32 @@ def slot_forces_world(m: Model, lay: ConstraintLayout, fwd) -> jnp.ndarray:
         f3 = f3.at[jnp.asarray(lay.cone_slots)].set(fwd.f_cone[:, :3])
 
     # simple slots: frictionless normals and pyramid decode
+    if getattr(fwd.efc, 'pyr_sel', None) is not None:
+        # culled pyramidal assembly (constraints.make_efc vectorized path):
+        # rows n_fl+n_lim onward are 2(condim-1) edges per SELECTED slot, in
+        # pyr_sel order — decode vectorized, scatter to the full slot axis
+        sel = fwd.efc.pyr_sel                             # (Kp,) local idx
+        cd = int(lay.con_condim[lay.simple_con_slots[0]])
+        nrows = 2 * (cd - 1)
+        Kp = sel.shape[0]
+        edges = fwd.efc_force[lay.n_fl + lay.n_lim:].reshape(Kp, nrows)
+        mu_sel = jnp.asarray(lay.con_mu, dtype)[
+            jnp.asarray(lay.simple_con_slots)[sel]]       # (Kp, 5)
+        normal = jnp.sum(edges, axis=1)
+        tangents = [(edges[:, 2 * i] - edges[:, 2 * i + 1]) * mu_sel[:, i]
+                    for i in range(cd - 1)]
+        while len(tangents) < 2:
+            tangents.append(jnp.zeros(Kp, dtype))
+        f3_sel = jnp.stack([normal, tangents[0], tangents[1]], axis=1)
+        # scatter to global slots via one-hot matmul (batched scatters
+        # serialize on TPU — same rationale as scatter_cone_forces)
+        gslots = jnp.asarray(lay.simple_con_slots)[sel]   # (Kp,) global
+        onehot = (gslots[:, None] ==
+                  jnp.arange(S, dtype=gslots.dtype)[None, :]).astype(dtype)
+        f3 = f3 + jnp.matmul(onehot.T, f3_sel,
+                             precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum('sij,si->sj', fwd.contacts.frame, f3)
+
     table = simple_row_table(lay)
     for s in lay.simple_con_slots:
         s = int(s)
