@@ -378,6 +378,14 @@ def _child_main(short):
     raise SystemExit(f'unknown config {short!r}')
 
 
+def _backend_is_tpu() -> bool:
+    try:
+        import jax
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
 def _emit_summary(batch, headline, cpu_rate, configs, done=False):
     """Print one FULL cumulative summary line (the timeout-proof contract)."""
     out = {
@@ -389,16 +397,23 @@ def _emit_summary(batch, headline, cpu_rate, configs, done=False):
         'configs': dict(configs),
         'cpu_mujoco_single_env': cpu_rate,
     }
-    if headline is not None and headline < 20000:
-        # engine program unchanged from the one that measured 78.4k in r1;
-        # the 2026-08-20 axon redeploy regressed XLA layout assignment
-        # (128-lane axis placed on size-3/4/8 per-env dims in the collision
-        # narrow phase, 2-6% lane occupancy). Full diagnosis with HLO/layout
-        # evidence: docs/PERF_NOTES.md "PLATFORM REGRESSION (r4)".
+    # Only the DEFAULT config on real TPU hardware can diagnose a platform
+    # regression — a small-batch or CPU run legitimately measures low
+    # (ADVICE r4: the unconditional note stamped false diagnoses)
+    default_cfg = (batch == 4096
+                   and os.environ.get('BENCH_STEPS') in (None, '50')
+                   and _backend_is_tpu())
+    if headline is not None and headline < 20000 and default_cfg:
+        # the batch-trailing narrow phase (r5, physics/collision_bt.py)
+        # restored the engine to ~62k steps/s on the post-redeploy platform;
+        # a sub-20k headline on the default config means either another
+        # layout-assignment change or a tunnel/backend problem — see
+        # docs/PERF_NOTES.md "PLATFORM REGRESSION (r4)" for the r4 episode
+        # and the diagnosis playbook
         out['platform_note'] = (
-            'engine throughput regressed ~19x by an axon-stack redeploy '
-            '(layout assignment, see docs/PERF_NOTES.md r4); MPC/MXU paths '
-            'unaffected')
+            'headline far below the ~62k steps/s measured for this program '
+            '(r5 batch-trailing engine); suspect platform layout assignment '
+            'or tunnel health — docs/PERF_NOTES.md')
     if done:
         out['complete'] = True
     print(json.dumps(out), flush=True)

@@ -105,6 +105,31 @@ class QuadrupedEnv:
         # static tables used by reset/termination
         self._friction_geom_mask = self._build_friction_mask()
 
+        # Callable velocity commands (reference type hint VelCallable,
+        # quadruped_env.py:68,92-93: time [s] → velocity): tabulated host-side
+        # at construction onto a per-step time grid so the jit-traced step can
+        # look the command up by sim time — arbitrary Python callables cannot
+        # run under jit, and the reference's own sampling path would not
+        # accept them either (_process_range, math_utils.py:54-60, falls
+        # through). Horizon 60 s, clamped beyond.
+        self._vel_table_dt = float(self.model.timestep)
+        n_tab = int(round(60.0 / self._vel_table_dt)) + 1
+        if callable(self.base_lin_vel_range):
+            fn = self.base_lin_vel_range
+            tab = np.stack([np.broadcast_to(
+                np.asarray(fn(k * self._vel_table_dt), np.float64), (3,))
+                for k in range(n_tab)])
+            self._lin_vel_table = jnp.asarray(tab)          # (T, 3)
+        else:
+            self._lin_vel_table = None
+        if callable(self.base_ang_vel_range):
+            fn = self.base_ang_vel_range
+            tab = np.array([float(np.asarray(fn(k * self._vel_table_dt)).reshape(-1)[-1])
+                            for k in range(n_tab)])
+            self._ang_vel_table = jnp.asarray(tab)          # (T,)
+        else:
+            self._ang_vel_table = None
+
         # validate obs names early (sensor names route to sensors)
         for name in self.state_obs_names:
             if not self._is_sensor_obs(name):
@@ -185,9 +210,15 @@ class QuadrupedEnv:
         """(lin_vel_H (3,), yaw_dot (), steps_until ()) — quadruped_env.py:1046-1072."""
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         ct = self.base_vel_command_type
-        if callable(self.base_lin_vel_range) or callable(self.base_ang_vel_range):
-            raise NotImplementedError(
-                'callable velocity commands: wrap sampling outside jit')
+        if self._lin_vel_table is not None or self._ang_vel_table is not None:
+            # callable commands are time-driven (table lookup in _vel_command
+            # each step); sampling returns the t=0 entry, no reset cadence
+            lin = (self._lin_vel_table[0] if self._lin_vel_table is not None
+                   else jnp.zeros(3, dtype))
+            yaw = (self._ang_vel_table[0] if self._ang_vel_table is not None
+                   else jnp.zeros((), dtype))
+            return lin.astype(dtype), yaw.astype(dtype), \
+                jnp.asarray(-1, jnp.int32)
         lo, hi = self.base_lin_vel_range
         if 'forward' in ct:
             norm = jax.random.uniform(k1, (), dtype, lo, hi)
@@ -393,7 +424,18 @@ class QuadrupedEnv:
         rng = state.rng
         vel_steps = state.steps_until_resample_vel
         ref_lin_H, yaw_dot = state.ref_base_lin_vel_H, state.ref_base_ang_yaw_dot
-        if 'reset' in self.base_vel_command_type:
+        if self._lin_vel_table is not None or self._ang_vel_table is not None:
+            # callable (time → velocity) commands: per-step table lookup
+            t_new = state.time + jnp.asarray(m.timestep, dtype)
+            idx = jnp.clip(jnp.round(t_new / self._vel_table_dt).astype(
+                jnp.int32), 0,
+                (self._lin_vel_table if self._lin_vel_table is not None
+                 else self._ang_vel_table).shape[0] - 1)
+            if self._lin_vel_table is not None:
+                ref_lin_H = self._lin_vel_table[idx].astype(dtype)
+            if self._ang_vel_table is not None:
+                yaw_dot = self._ang_vel_table[idx].astype(dtype)
+        elif 'reset' in self.base_vel_command_type:
             rng, k = jax.random.split(rng)
             new_lin, new_yaw, new_steps = self._sample_ref_vel(k, dtype)
             hit = vel_steps <= 1

@@ -246,11 +246,24 @@ def make_from_reference_xml(xml_path):
     name = pathlib.Path(xml_path).stem.replace('scene_', '')
     tree, asset, wb = _base_scene(name)
     xs, ys = [], []
+    # only these geom attributes are carried over; anything else that can
+    # change geometry or contact behavior must fail loudly rather than be
+    # silently dropped (ADVICE r4: a future scene using euler/friction/...
+    # would import with wrong physics)
+    copied = ('type', 'pos', 'size', 'quat')
+    ignorable = ('name', 'rgba', 'material', 'group', 'class')  # visual only
+    # NOTE contype/conaffinity are deliberately NOT ignorable: they change
+    # contact filtering and must be handled explicitly if a scene uses them
     for geom in src.getroot().find('worldbody').findall('geom'):
         if geom.get('type', 'sphere') == 'plane':
             continue  # base scene provides the floor
-        attrs = {k: geom.get(k) for k in ('type', 'pos', 'size', 'quat')
-                 if geom.get(k) is not None}
+        unknown = [k for k in geom.keys() if k not in copied + ignorable]
+        if unknown:
+            raise ValueError(
+                f'{xml_path}: geom carries unsupported attribute(s) '
+                f'{unknown}; extend make_from_reference_xml before importing '
+                'this scene (silently dropping them would corrupt physics)')
+        attrs = {k: geom.get(k) for k in copied if geom.get(k) is not None}
         ET.SubElement(wb, 'geom', attrs)
         if 'pos' in attrs:
             px, py, _ = (float(v) for v in attrs['pos'].split())

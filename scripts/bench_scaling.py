@@ -27,6 +27,9 @@ if os.environ.get('JAX_PLATFORMS'):
     except Exception:
         pass
 jax.config.update('jax_default_matmul_precision', 'highest')
+# persistent compile cache: the r4 attempt at this table died on compile cost
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
 import numpy as np
 import jax.numpy as jnp

@@ -72,6 +72,10 @@ MATRIX = [
     ('hyqreal2', 'perlin', 'stance', None),
     ('aliengo', 'random_boxes', 'random', None),
     ('b2', 'random_boxes', 'random', None),
+    # mesh-bodied robot on a box scene: exercises the r5 box-mesh hull-hull
+    # collider (collision.py _NCON_TABLE (BOX, MESH) note; VERDICT r4
+    # missing #1 / next-round #6)
+    ('mini_cheetah', 'random_boxes', 'stance', None),
     # static scenes (reference terrain.py:318-320 reachable via scene=)
     ('go2', 'stairs', 'random', None),
     ('go2', 'ramp', 'random', None),
