@@ -37,7 +37,10 @@ def main(robot, scene, n_steps=200, amp=2.0):
     mujoco.mj_forward(mj, d)
 
     rng = np.random.RandomState(2)
-    ctrl_seq = rng.uniform(-amp, amp, (n_steps, mj.nu))
+    stance = amp == 'stance'   # PD hold at the keyframe (test_parity_matrix)
+    q0 = d.qpos[7:].copy()
+    if not stance:
+        ctrl_seq = rng.uniform(-amp, amp, (n_steps, mj.nu))
 
     @jax.jit
     def step(qp, qv, c, w):
@@ -49,8 +52,10 @@ def main(robot, scene, n_steps=200, amp=2.0):
         qp = jnp.asarray(d.qpos.copy())
         qv = jnp.asarray(d.qvel.copy())
         w = jnp.asarray(d.qacc_warmstart.copy())
-        c = jnp.asarray(ctrl_seq[t])
-        d.ctrl[:] = ctrl_seq[t]
+        ct = (30.0 * (q0 - d.qpos[7:]) - 1.0 * d.qvel[6:]) if stance \
+            else ctrl_seq[t]
+        c = jnp.asarray(ct)
+        d.ctrl[:] = ct
         mujoco.mj_step(mj, d)
         qp2, qv2, qacc = step(qp, qv, c, w)
         e_qacc = float(np.max(np.abs(np.asarray(qacc) - d.qacc)))
@@ -104,5 +109,6 @@ def main(robot, scene, n_steps=200, amp=2.0):
 
 if __name__ == '__main__':
     a = sys.argv[1:]
+    _amp = a[3] if len(a) > 3 else 2.0
     main(a[0], a[1], int(a[2]) if len(a) > 2 else 200,
-         float(a[3]) if len(a) > 3 else 2.0)
+         _amp if _amp == 'stance' else float(_amp))
